@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: the reference PMMH workload on TPU.
+
+Workload definition (BASELINE.md): univariate-SVOL adaptive PMMH over
+T=3083 SPY daily returns (data/spy_returns.csv), 500+ particles per
+filter, multiple independent PF replicates per MCMC iteration — the
+reference's `./ssme_example ... 100 100` configuration
+(reference example/main.cpp:9-13, README.md:30).
+
+Metric: particle-propagations per second per chip =
+iters * chains * replicates * particles * T / wall_time.
+North star (BASELINE.json): >= 1e8 props/s/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from ssme_tpu.inference import AdaptivePMMH
+    from ssme_tpu.io import read_data
+    from ssme_tpu.models import svol
+
+    # workload scale (env-overridable for quick runs)
+    num_particles = int(os.environ.get("BENCH_PARTICLES", 512))
+    num_replicates = int(os.environ.get("BENCH_REPLICATES", 16))
+    num_chains = int(os.environ.get("BENCH_CHAINS", 8))
+    num_iters = int(os.environ.get("BENCH_ITERS", 4))
+    baseline = 1e8  # north-star props/s/chip (BASELINE.json)
+
+    data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "spy_returns.csv")
+    ys = jnp.asarray(read_data(data_path, num_cols=1))
+    t_len = ys.shape[0]
+
+    model = svol.make_model()
+    pmmh = AdaptivePMMH(model, num_particles=num_particles,
+                        num_replicates=num_replicates, t0=150, t1=1000)
+    start = jnp.asarray(svol.START_TRANS_THETA)
+
+    state = pmmh.init(jax.random.key(0), start, ys, num_chains=num_chains)
+    run = jax.jit(lambda st: pmmh.run_from(st, num_iters, ys))
+
+    # compile + warm up
+    res = run(state)
+    jax.block_until_ready(res.samples)
+    state = res.final_state
+
+    t0 = time.perf_counter()
+    res = run(state)
+    jax.block_until_ready(res.samples)
+    elapsed = time.perf_counter() - t0
+
+    props = (num_iters * num_chains * num_replicates
+             * num_particles * t_len)
+    props_per_sec = props / elapsed
+    n_chips = max(1, len(jax.devices()))
+    value = props_per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "pmmh_particle_propagations_per_sec_per_chip",
+        "value": value,
+        "unit": "propagations/s/chip",
+        "vs_baseline": value / baseline,
+    }))
+
+    # supporting detail on stderr (not part of the contract)
+    print(f"config: T={t_len} N={num_particles} R={num_replicates} "
+          f"C={num_chains} iters={num_iters} elapsed={elapsed:.3f}s "
+          f"devices={n_chips}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

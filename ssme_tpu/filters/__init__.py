@@ -1,0 +1,14 @@
+from ssme_tpu.filters.bootstrap import (
+    BootstrapFilter,
+    FilterResult,
+    log_likelihood_fn,
+)
+from ssme_tpu.filters.liu_west import LiuWestFilter, LiuWestResult
+
+__all__ = [
+    "BootstrapFilter",
+    "FilterResult",
+    "log_likelihood_fn",
+    "LiuWestFilter",
+    "LiuWestResult",
+]

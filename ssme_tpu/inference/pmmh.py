@@ -1,0 +1,262 @@
+"""Adaptive particle marginal Metropolis-Hastings (PMMH), batched on TPU.
+
+TPU-native replacement for the reference's ``ada_pmmh_mvn``
+(``include/ssme/ada_pmmh_mvn.h:30-383``).  Semantics preserved:
+
+- random-walk MVN proposal **on the transformed space** (``:260-269``);
+- Haario-style covariance adaptation inside the window (t0, t1):
+  ``Ct = sd (Sigma_hat + eps I)`` with ``sd = 2.4^2 / d``, ``eps = .01``
+  (``:185-186, 247-248``), where Sigma_hat/mean follow the recursive
+  sample-moment updates of ``update_moments_and_Ct`` (``:213-250``) —
+  implemented branch-free (the reference's iter==1/2 special cases are the
+  fixed points of the general recursion started from zero moments);
+- the MH ratio includes the parameter pack's log-Jacobian so user priors
+  live on the constrained space (``:343, 364``; class doc ``:22-28``);
+- likelihood = log-mean-exp over ``num_replicates`` independent particle
+  filter estimates — the averaging thread pool (``thread_pool.h:259-273``)
+  becomes a ``vmap`` over replicate keys + ``logmeanexp``;
+- NaN acceptance probabilities reject (comparison-with-NaN-is-false, the
+  behavior the reference relies on, ``:349``);
+- the moving-average accept rate recursion (``:351, 356``).
+
+New capability vs the reference (BASELINE north star): ``num_chains``
+independent chains run as one batched ``vmap`` axis — on hardware this is
+essentially free until the chip saturates, and it is the axis sharded
+across hosts/chips by ``ssme_tpu.parallel``.
+
+The iteration loop is a single ``lax.scan``; one jit covers
+(iterations x chains x replicates x particles x T).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssme_tpu import rv
+from ssme_tpu.filters.bootstrap import log_likelihood_fn
+from ssme_tpu.models.base import StateSpaceModel
+from ssme_tpu.utils import logmeanexp
+
+
+class PMMHState(NamedTuple):
+    """Per-chain sampler state (a pytree; leading axis = chains).
+
+    Everything needed to checkpoint/resume a chain, including the
+    adaptation moments (SURVEY §5.4).
+    """
+
+    trans_theta: jnp.ndarray   # (C, d) current position, transformed space
+    log_like: jnp.ndarray      # (C,)
+    log_prior: jnp.ndarray     # (C,) includes log-Jacobian
+    mean: jnp.ndarray          # (C, d) running mean of transformed samples
+    sigma_hat: jnp.ndarray     # (C, d, d) running covariance (n-1 denom)
+    ct: jnp.ndarray            # (C, d, d) current proposal covariance
+    accept_ma: jnp.ndarray     # (C,) moving-average accept rate
+    iteration: jnp.ndarray     # () completed iterations
+    key: jnp.ndarray           # (C,) per-chain PRNG keys
+
+
+class PMMHResult(NamedTuple):
+    samples: jnp.ndarray        # (iters, C, d) constrained-space samples
+    trans_samples: jnp.ndarray  # (iters, C, d) transformed-space samples
+    log_likes: jnp.ndarray      # (iters, C) current chain log-likelihood
+    log_priors: jnp.ndarray     # (iters, C)
+    new_log_likes: jnp.ndarray  # (iters, C) proposed values (messages)
+    new_log_priors: jnp.ndarray # (iters, C)
+    log_accept_probs: jnp.ndarray  # (iters, C)
+    accepted: jnp.ndarray       # (iters, C) bool
+    accept_rate: jnp.ndarray    # (iters, C) moving average
+    final_state: PMMHState
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True, eq=False)
+class AdaptivePMMH:
+    """Configuration mirroring the reference ctor args
+    (``ada_pmmh_mvn.h:54-67``) plus chain batching."""
+
+    model: StateSpaceModel
+    num_particles: int          # numparts template param
+    num_replicates: int = 1     # num_pfilters
+    t0: int = 150               # start adapting
+    t1: int = 1000              # stop adapting
+    eps: float = 0.01           # ridge (ada_pmmh_mvn.h:186)
+    sd: Optional[float] = None  # default 2.4^2/d (ada_pmmh_mvn.h:185)
+    resampler: str = "systematic"
+    resample_every: int = 1
+    # Optional likelihood override ``(key, params, ys[, zs]) -> scalar``:
+    # used to inject the particle-axis-sharded filter
+    # (ssme_tpu.parallel.sharded_pf) or a Pallas-fused kernel path while
+    # keeping the MH machinery identical.
+    custom_log_like: Optional[callable] = None
+
+    def __post_init__(self):
+        self.model.require("log_prior")
+
+    @property
+    def _sd(self) -> float:
+        return (2.4 * 2.4 / self.model.dim_param) if self.sd is None else self.sd
+
+    # ------------------------------------------------------------------
+    def _log_prior_with_jacobian(self, trans_theta):
+        tf = self.model.transform
+        return (self.model.log_prior(tf.constrain(trans_theta))
+                + tf.log_det_jacobian(trans_theta))
+
+    def _log_like(self, key, trans_theta, ys, zs):
+        """log-mean-exp over replicate PF estimates (thread_pool.h:259-273
+        semantics, as a vmap)."""
+        if self.custom_log_like is not None:
+            ll = self.custom_log_like
+        else:
+            ll = log_likelihood_fn(self.model, self.num_particles,
+                                   self.resampler, self.resample_every)
+        params = self.model.transform.constrain(trans_theta)
+        keys = jax.random.split(key, self.num_replicates)
+        if self.model.has_covariates:
+            vals = jax.vmap(lambda k: ll(k, params, ys, zs))(keys)
+        else:
+            vals = jax.vmap(lambda k: ll(k, params, ys))(keys)
+        return logmeanexp(vals)
+
+    # ------------------------------------------------------------------
+    def _update_moments_and_ct(self, state_slice, i):
+        """Branch-free ``update_moments_and_Ct`` (``ada_pmmh_mvn.h:213-250``).
+
+        ``i`` is the reference's ``m_iter`` at call time (#samples seen so
+        far).  With mean0 = 0, sigma0 = 0 the general i>2 recursion
+        reproduces the reference's i==1 and i==2 special cases exactly.
+        """
+        theta, mean, sigma_hat, ct = state_slice
+        fi = i.astype(theta.dtype)
+        # sigma update (guarded so i==1 leaves sigma at zero)
+        shrink = jnp.maximum(fi - 2.0, 0.0) / jnp.maximum(fi - 1.0, 1.0)
+        diff = theta - mean
+        sigma_new = sigma_hat * shrink + jnp.outer(diff, diff) / jnp.maximum(fi, 1.0)
+        sigma_new = jnp.where(i >= 2, sigma_new, sigma_hat)
+        mean_new = ((fi - 1.0) * mean + theta) / jnp.maximum(fi, 1.0)
+        mean_new = jnp.where(i >= 1, mean_new, mean)
+        # adapt Ct inside the window (t1 > i > t0), ada_pmmh_mvn.h:247-248
+        d = theta.shape[-1]
+        adapted = self._sd * (sigma_new + self.eps * jnp.eye(d, dtype=theta.dtype))
+        in_window = (i > self.t0) & (i < self.t1)
+        ct_new = jnp.where(in_window, adapted, ct)
+        return mean_new, sigma_new, ct_new
+
+    # ------------------------------------------------------------------
+    def init(self, key, start_trans_theta, ys, zs=None,
+             c0=None, num_chains=1) -> PMMHState:
+        """Evaluate the starting point (the reference's iter-0 branch,
+        ``ada_pmmh_mvn.h:362-365``) for every chain.
+
+        ``start_trans_theta``: (d,) shared start or (C, d) per-chain.
+        ``c0``: initial proposal covariance (d, d); default 0.15 I as in
+        the example driver (``estimate_univ_svol.h:158``).
+        """
+        d = self.model.dim_param
+        start = jnp.asarray(start_trans_theta, dtype=jnp.float32)
+        if start.ndim == 1:
+            start = jnp.broadcast_to(start, (num_chains, d))
+        c = start.shape[0]
+        if c0 is None:
+            c0 = 0.15 * jnp.eye(d, dtype=start.dtype)
+        c0 = jnp.broadcast_to(jnp.asarray(c0, dtype=start.dtype), (c, d, d))
+
+        keys = jax.random.split(key, c)
+        like_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        log_like = jax.vmap(lambda k, th: self._log_like(k, th, ys, zs))(
+            like_keys, start)
+        log_prior = jax.vmap(self._log_prior_with_jacobian)(start)
+        return PMMHState(
+            trans_theta=start,
+            log_like=log_like,
+            log_prior=log_prior,
+            mean=jnp.zeros((c, d), start.dtype),
+            sigma_hat=jnp.zeros((c, d, d), start.dtype),
+            ct=c0,
+            accept_ma=jnp.zeros((c,), start.dtype),
+            iteration=jnp.asarray(0),
+            key=keys,
+        )
+
+    # ------------------------------------------------------------------
+    def _chain_step(self, state_slice, i, ys, zs):
+        """One MH iteration for one chain (``commence_sampling`` body,
+        ``ada_pmmh_mvn.h:332-360``)."""
+        (theta, old_ll, old_lp, mean, sigma_hat, ct, accept_ma, key) = state_slice
+        key, k_prop, k_like, k_u = jax.random.split(key, 4)
+
+        mean, sigma_hat, ct = self._update_moments_and_ct(
+            (theta, mean, sigma_hat, ct), i)
+
+        # propose on the transformed space (ada_pmmh_mvn.h:260-269)
+        chol = rv.chol_with_jitter(ct)
+        proposed = theta + chol @ jax.random.normal(k_prop, theta.shape,
+                                                    dtype=theta.dtype)
+        new_lp = self._log_prior_with_jacobian(proposed)
+        new_ll = self._log_like(k_like, proposed, ys, zs)
+
+        log_accept = new_lp + new_ll - old_lp - old_ll  # :347
+        log_u = jnp.log(jax.random.uniform(k_u, (), dtype=theta.dtype))
+        accepted = log_u < log_accept  # NaN -> False, as the reference relies on
+
+        theta = jnp.where(accepted, proposed, theta)
+        old_ll = jnp.where(accepted, new_ll, old_ll)
+        old_lp = jnp.where(accepted, new_lp, old_lp)
+        fi = i.astype(theta.dtype)
+        accept_ma = (jnp.where(accepted, 1.0, 0.0) / (fi + 1.0)
+                     + fi * accept_ma / (fi + 1.0))  # :351,356
+
+        out = (theta, old_ll, old_lp, new_ll, new_lp, log_accept, accepted,
+               accept_ma)
+        return (theta, old_ll, old_lp, mean, sigma_hat, ct, accept_ma, key), out
+
+    # ------------------------------------------------------------------
+    def run_from(self, state: PMMHState, num_iters, ys, zs=None) -> PMMHResult:
+        """Advance every chain ``num_iters`` MH iterations (resumable)."""
+        ys = jnp.asarray(ys)
+        if zs is not None:
+            zs = jnp.asarray(zs)
+
+        def scan_body(carry, i):
+            st = carry
+            slices = (st.trans_theta, st.log_like, st.log_prior, st.mean,
+                      st.sigma_hat, st.ct, st.accept_ma, st.key)
+            new_slices, out = jax.vmap(
+                lambda *s: self._chain_step(s, i, ys, zs))(*slices)
+            (theta, ll, lp, mean, sig, ct, ama, key) = new_slices
+            new_state = PMMHState(theta, ll, lp, mean, sig, ct, ama, i, key)
+            return new_state, out
+
+        iters = state.iteration + 1 + jnp.arange(num_iters)
+        state, outs = jax.lax.scan(scan_body, state, iters)
+        (thetas, lls, lps, new_lls, new_lps, log_accepts, accepteds, amas) = outs
+        constrained = self.model.transform.constrain(thetas)
+        return PMMHResult(
+            samples=constrained,
+            trans_samples=thetas,
+            log_likes=lls,
+            log_priors=lps,
+            new_log_likes=new_lls,
+            new_log_priors=new_lps,
+            log_accept_probs=log_accepts,
+            accepted=accepteds,
+            accept_rate=amas,
+            final_state=state,
+        )
+
+    def run(self, key, start_trans_theta, num_iters, ys, zs=None,
+            c0=None, num_chains=1) -> PMMHResult:
+        """End-to-end: init at the start point, then ``num_iters``
+        iterations.  The analog of constructing the estimator and calling
+        ``commence_sampling()`` (``estimate_univ_svol.h:161-176``)."""
+        state = self.init(key, start_trans_theta, ys, zs=zs, c0=c0,
+                          num_chains=num_chains)
+        return self.run_from(state, num_iters, ys, zs=zs)
+
+
+__all__ = ["AdaptivePMMH", "PMMHResult", "PMMHState"]

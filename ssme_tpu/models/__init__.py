@@ -1,0 +1,6 @@
+from ssme_tpu.models.base import StateSpaceModel
+from ssme_tpu.models import svol
+from ssme_tpu.models import svol_leverage
+from ssme_tpu.models import lgssm
+
+__all__ = ["StateSpaceModel", "svol", "svol_leverage", "lgssm"]

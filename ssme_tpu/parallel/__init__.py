@@ -1,0 +1,12 @@
+from ssme_tpu.parallel.mesh import (
+    make_mesh,
+    chain_sharding,
+    particle_sharding,
+    shard_chain_state,
+    jit_sharded_pmmh,
+)
+
+__all__ = [
+    "make_mesh", "chain_sharding", "particle_sharding",
+    "shard_chain_state", "jit_sharded_pmmh",
+]

@@ -1,0 +1,105 @@
+"""Device-mesh parallelism: the distributed backend of the framework.
+
+Replaces the reference's two thread pools (``include/ssme/thread_pool.h``;
+SURVEY §5.8): each ``work()`` call there is broadcast -> map -> reduce over
+threads; here the same dataflow is a sharded ``jit`` over a
+``jax.sharding.Mesh`` with XLA-inserted collectives:
+
+- **chain axis** ("dp"): independent PMMH chains / replicate estimators /
+  swarm members.  Sharding the leading chain axis of ``PMMHState`` (or a
+  vmap axis of any filter bank) makes XLA run each chain's filter on its
+  own device group with zero communication except final reductions —
+  exactly the averaging pool's broadcast/map/reduce
+  (``thread_pool.h:189-215, 259-273``), minus the locks and promises.
+- **particle axis** ("tp-like"): the particle cloud of a single filter is
+  sharded over ICI.  Propagation/weighting are embarrassingly parallel;
+  normalization and resampling induce ``psum``/all-gather collectives that
+  GSPMD inserts from the sharding constraints (the prefix-sum + gather in
+  :mod:`ssme_tpu.resampling` partitions cleanly).
+
+On a single device everything degrades transparently (1x1 mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHAIN_AXIS = "chain"
+PARTICLE_AXIS = "particle"
+
+
+def make_mesh(num_chain_shards: Optional[int] = None,
+              num_particle_shards: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (chain, particle) mesh over the available devices.
+
+    Defaults: all devices along the chain axis (the embarrassingly
+    parallel direction — chains over DCN/ICI, BASELINE sharding plan).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if num_chain_shards is None:
+        num_chain_shards = n // num_particle_shards
+    if num_chain_shards * num_particle_shards != n:
+        raise ValueError(
+            f"mesh {num_chain_shards}x{num_particle_shards} != {n} devices")
+    dev_array = np.asarray(devices).reshape(num_chain_shards,
+                                            num_particle_shards)
+    return Mesh(dev_array, (CHAIN_AXIS, PARTICLE_AXIS))
+
+
+def chain_sharding(mesh: Mesh, ndim_after: int = 0) -> NamedSharding:
+    """Sharding for an array whose leading axis is chains."""
+    return NamedSharding(mesh, P(CHAIN_AXIS, *([None] * ndim_after)))
+
+
+def particle_sharding(mesh: Mesh, leading_batch_dims: int = 0
+                      ) -> NamedSharding:
+    """Sharding for a particle-cloud array ([batch...], N, dim_state)."""
+    return NamedSharding(mesh, P(*([None] * leading_batch_dims),
+                                 PARTICLE_AXIS))
+
+
+def shard_chain_state(state, mesh: Mesh):
+    """Place a chain-leading pytree (e.g. ``PMMHState``) on the mesh with
+    the chain axis sharded; scalars replicate."""
+    def put(leaf):
+        leaf = jax.numpy.asarray(leaf)
+        if leaf.ndim == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return jax.device_put(
+            leaf, NamedSharding(mesh, P(CHAIN_AXIS,
+                                        *([None] * (leaf.ndim - 1)))))
+    return jax.tree_util.tree_map(put, state)
+
+
+def jit_sharded_pmmh(pmmh, mesh: Mesh, num_iters: int,
+                     has_covariates: bool = False):
+    """Compile ``pmmh.run_from`` with the chain axis sharded over ``mesh``.
+
+    Returns ``f(state, ys[, zs]) -> PMMHResult`` where ``state`` is a
+    ``PMMHState`` placed by :func:`shard_chain_state`.  Sample trajectories
+    come back sharded over chains; data is replicated to every device.
+    GSPMD keeps every chain's particle filter local to its device group —
+    the multi-chip execution model of the whole framework.
+    """
+    repl = NamedSharding(mesh, P())
+
+    if has_covariates:
+        def run(state, ys, zs):
+            return pmmh.run_from(state, num_iters, ys, zs=zs)
+        return jax.jit(run, in_shardings=(None, repl, repl))
+
+    def run(state, ys):
+        return pmmh.run_from(state, num_iters, ys)
+    return jax.jit(run, in_shardings=(None, repl))
+
+
+__all__ = [
+    "CHAIN_AXIS", "PARTICLE_AXIS", "make_mesh", "chain_sharding",
+    "particle_sharding", "shard_chain_state", "jit_sharded_pmmh",
+]
