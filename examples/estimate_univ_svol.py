@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""CLI driver: adaptive PMMH on the univariate SVOL model.
+
+Mirrors the reference's example program end to end
+(``example/main.cpp:15-46`` + ``example/estimate_univ_svol.h:139-178``):
+
+    python examples/estimate_univ_svol.py \
+        <datafile> <samples_base> <messages_base> <n_mcmc> <n_pfilters> \
+        [--chains C] [--particles N] [--no-timestamp]
+
+Chain configuration is the reference's: start theta = (1.0,
+twiceFisher(.5), log 2e-4), transforms {null, twice_fisher, log},
+C0 = .15 I, adaptation window t0=150..t1=1000, priors beta~N(1,1),
+phi~U(0,1), ss~InvGamma(.001,.001).  Outputs: a timestamped CSV of
+constrained samples per chain and a message stream in the reference's
+format.
+"""
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("datafile")
+    p.add_argument("samples_base")
+    p.add_argument("messages_base")
+    p.add_argument("n_mcmc", type=int)
+    p.add_argument("n_pfilters", type=int)
+    p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--particles", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--print-every-k", type=int, default=1)
+    p.add_argument("--print-to-console", action="store_true")
+    p.add_argument("--no-timestamp", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="path to write a resumable chain checkpoint")
+    args = p.parse_args(argv)
+
+    from ssme_tpu.inference import AdaptivePMMH
+    from ssme_tpu.io import MessageWriter, SampleWriter, read_data
+    from ssme_tpu.io.checkpoint import save_checkpoint
+    from ssme_tpu.models import svol
+
+    ys = jnp.asarray(read_data(args.datafile, num_cols=1))
+    print(f"first row of data:\n{float(ys[0, 0])}", file=sys.stderr)
+
+    model = svol.make_model()
+    pmmh = AdaptivePMMH(model, num_particles=args.particles,
+                        num_replicates=args.n_pfilters, t0=150, t1=1000)
+    start = jnp.asarray(svol.START_TRANS_THETA)
+
+    res = jax.jit(
+        lambda k: pmmh.run(k, start, args.n_mcmc, ys,
+                           num_chains=args.chains)
+    )(jax.random.key(args.seed))
+    jax.block_until_ready(res.samples)
+
+    ts = not args.no_timestamp
+    for chain in range(args.chains):
+        suffix = f"_chain{chain}" if args.chains > 1 else ""
+        with SampleWriter(args.samples_base + suffix,
+                          print_every_k=args.print_every_k,
+                          timestamp=ts) as sw:
+            sw.record_result(res, chain=chain)
+        with MessageWriter(args.messages_base + suffix,
+                           print_every_k=args.print_every_k,
+                           print_to_console=args.print_to_console,
+                           timestamp=ts) as mw:
+            mw.record_result(res, chain=chain)
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, res.final_state,
+                        {"completed_iters": args.n_mcmc})
+
+    ar = float(res.accept_rate[-1].mean())
+    print(f"done: {args.n_mcmc} iters x {args.chains} chains, "
+          f"final accept rate {ar:.3f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

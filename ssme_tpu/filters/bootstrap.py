@@ -81,8 +81,11 @@ class BootstrapFilter:
         m = self.model
         m.require("sample_q1", "log_q1", "log_mu", "log_g")
         n = self.num_particles
-        keys = jax.random.split(key, n)
-        particles = jax.vmap(lambda k: m.sample_q1(k, params, y1))(keys)
+        if m.sample_q1_batch is not None:
+            particles = m.sample_q1_batch(key, params, y1, n)
+        else:
+            keys = jax.random.split(key, n)
+            particles = jax.vmap(lambda k: m.sample_q1(k, params, y1))(keys)
         log_w = jax.vmap(
             lambda x: m.log_mu(params, x)
             + m.log_g(params, y1, x, z1)
@@ -103,9 +106,12 @@ class BootstrapFilter:
             k_res, log_w, (particles,), do_rs, kind=self.resampler)
 
         old_lse = logsumexp(log_w)
-        keys = jax.random.split(k_prop, n)
-        particles = jax.vmap(lambda k, x: m.sample_f(k, params, x, z))(
-            keys, particles)
+        if m.sample_f_batch is not None:
+            particles = m.sample_f_batch(k_prop, params, particles, z)
+        else:
+            keys = jax.random.split(k_prop, n)
+            particles = jax.vmap(lambda k, x: m.sample_f(k, params, x, z))(
+                keys, particles)
         log_w = log_w + jax.vmap(lambda x: m.log_g(params, y, x, z))(particles)
         lcl = logsumexp(log_w) - old_lse
         return particles, log_w, lcl

@@ -175,8 +175,11 @@ class LiuWestFilter:
         new_untrans = self._constrain(new_trans)
 
         # propagate states and reweight by the obs-density ratio, lw:431-434
-        new_particles = jax.vmap(lambda k, x, p: m.sample_f(k, p, x, z))(
-            jax.random.split(k_f, n), x_anc, new_untrans)
+        if m.sample_f_batch is not None:
+            new_particles = m.sample_f_batch(k_f, new_untrans, x_anc, z)
+        else:
+            new_particles = jax.vmap(lambda k, x, p: m.sample_f(k, p, x, z))(
+                jax.random.split(k_f, n), x_anc, new_untrans)
         log_num = jax.vmap(lambda x, p: m.log_g(p, y, x, z))(
             new_particles, new_untrans)
         lookahead_anc = jax.vmap(lambda x, p: m.prop_mu(p, x, z))(
@@ -217,9 +220,13 @@ class LiuWestFilter:
         new_trans = shrunk + eps @ chol.T  # lw:1628-1629
         new_untrans = self._constrain(new_trans)
 
-        new_particles = jax.vmap(
-            lambda k, x, p: m.sample_q(k, p, x, y, z))(
-            jax.random.split(k_q, n), state.particles, new_untrans)
+        if m.sample_q_batch is not None:
+            new_particles = m.sample_q_batch(k_q, new_untrans,
+                                             state.particles, y, z)
+        else:
+            new_particles = jax.vmap(
+                lambda k, x, p: m.sample_q(k, p, x, y, z))(
+                jax.random.split(k_q, n), state.particles, new_untrans)
         incr = jax.vmap(
             lambda xn, xo, p: m.log_f(p, xn, xo, z) + m.log_g(p, y, xn, z)
             - m.log_q(p, xn, xo, y, z)

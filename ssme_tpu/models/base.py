@@ -77,6 +77,23 @@ class StateSpaceModel:
     sample_prior: Callable = None
     log_prior: Callable = None
 
+    # Optional batched samplers (performance fast path).  Per-particle
+    # sampling hooks under vmap generate one PRNG block per particle via
+    # split keys; on TPU a single batched draw is markedly cheaper inside
+    # a scan.  Signatures take the whole particle cloud and ONE key:
+    #   sample_q1_batch(key, params, y1, n) -> (n, dim_state)
+    #   sample_f_batch(key, params, xs, z) -> xs'      (xs: (n, dim_state))
+    #   sample_q_batch(key, params, xs, y, z) -> xs'
+    #   sample_g_batch(key, params, xs) -> (n, dim_obs)
+    # ``params`` may carry a leading particle axis (n, dim_param) —
+    # implementations must broadcast (Liu-West gives each particle its
+    # own theta).  Filters fall back to vmapping the per-particle hook
+    # when a batch hook is None.
+    sample_q1_batch: Callable = None
+    sample_f_batch: Callable = None
+    sample_q_batch: Callable = None
+    sample_g_batch: Callable = None
+
     name: str = "ssm"
 
     @property

@@ -89,6 +89,33 @@ def sample_prior(key):
     return jnp.stack([a, q, r])
 
 
+# --- batched fast-path samplers; params may be (3,) or (n, 3) -----------
+
+def _bcol(v):
+    v = jnp.asarray(v)
+    return v[..., None] if v.ndim else v
+
+
+def sample_q1_batch(key, params, y1, n):
+    sd = _bcol(params[..., 1] / jnp.sqrt(1.0 - params[..., 0] ** 2))
+    return jax.random.normal(key, (n, 1)) * sd
+
+
+def sample_f_batch(key, params, xs, z):
+    a = _bcol(params[..., 0])
+    q = _bcol(params[..., 1])
+    return a * xs + jax.random.normal(key, xs.shape) * q
+
+
+def sample_q_batch(key, params, xs, y, z):
+    return sample_f_batch(key, params, xs, z)
+
+
+def sample_g_batch(key, params, xs):
+    r = _bcol(params[..., 2])
+    return C_OBS * xs + jax.random.normal(key, xs.shape[:-1] + (1,)) * r
+
+
 def make_model() -> StateSpaceModel:
     return StateSpaceModel(
         dim_state=1,
@@ -107,6 +134,10 @@ def make_model() -> StateSpaceModel:
         sample_g=sample_g,
         log_prior=log_prior,
         sample_prior=sample_prior,
+        sample_q1_batch=sample_q1_batch,
+        sample_f_batch=sample_f_batch,
+        sample_q_batch=sample_q_batch,
+        sample_g_batch=sample_g_batch,
         name="lgssm",
     )
 

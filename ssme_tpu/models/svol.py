@@ -105,6 +105,32 @@ def sample_prior(key):
     return jnp.stack([beta, phi, ss])
 
 
+# --- batched fast-path samplers (one PRNG call per particle cloud) ------
+# ``params`` may be (3,) or carry a leading particle axis (n, 3).
+
+def _bcol(v):
+    """() -> scalar usable against (n, 1); (n,) -> (n, 1)."""
+    v = jnp.asarray(v)
+    return v[..., None] if v.ndim else v
+
+
+def sample_q1_batch(key, params, y1, n):
+    sd = _bcol(jnp.sqrt(params[..., 2]) /
+               jnp.sqrt(1.0 - params[..., 1] * params[..., 1]))
+    return jax.random.normal(key, (n, 1)) * sd
+
+
+def sample_f_batch(key, params, xs, z):
+    phi = _bcol(params[..., 1])
+    sigma = _bcol(jnp.sqrt(params[..., 2]))
+    return phi * xs + jax.random.normal(key, xs.shape) * sigma
+
+
+def sample_g_batch(key, params, xs):
+    beta = _bcol(params[..., 0])
+    return jax.random.normal(key, xs.shape[:-1] + (1,)) * beta * jnp.exp(0.5 * xs)
+
+
 def make_model() -> StateSpaceModel:
     return StateSpaceModel(
         dim_state=1,
@@ -121,6 +147,9 @@ def make_model() -> StateSpaceModel:
         prop_mu=prop_mu,
         log_prior=log_prior,
         sample_prior=sample_prior,
+        sample_q1_batch=sample_q1_batch,
+        sample_f_batch=sample_f_batch,
+        sample_g_batch=sample_g_batch,
         name="univ_svol",
     )
 

