@@ -62,6 +62,12 @@ class BootstrapFilter:
     num_particles: int
     resampler: str = "systematic"   # "multinomial" matches reference policy
     resample_every: int = 1         # reference rs schedule
+    # ESS-adaptive resampling: when set (fraction of N, e.g. 0.5),
+    # resample only at scheduled steps where ESS < ess_threshold * N.
+    # The reference resamples unconditionally on schedule; this is the
+    # standard variance-reducing refinement (its declared-TODO ESS,
+    # liu_west_filter.h:1568-1571, taken to its use).
+    ess_threshold: float = None
     functionals: Tuple[Callable, ...] = ()
 
     # ------------------------------------------------------------------
@@ -102,6 +108,8 @@ class BootstrapFilter:
         # resample-on-schedule BEFORE propagating (pf bootstrap ordering);
         # branch-free so the compiled step is static
         do_rs = (t % self.resample_every) == 0
+        if self.ess_threshold is not None:
+            do_rs = do_rs & (ess(log_w) < self.ess_threshold * n)
         (particles,), log_w = resampling.maybe_resample(
             k_res, log_w, (particles,), do_rs, kind=self.resampler)
 

@@ -2,5 +2,7 @@ from ssme_tpu.models.base import StateSpaceModel
 from ssme_tpu.models import svol
 from ssme_tpu.models import svol_leverage
 from ssme_tpu.models import lgssm
+from ssme_tpu.models import factor_svol
 
-__all__ = ["StateSpaceModel", "svol", "svol_leverage", "lgssm"]
+__all__ = ["StateSpaceModel", "svol", "svol_leverage", "lgssm",
+           "factor_svol"]
