@@ -4,6 +4,7 @@ from ssme_tpu.filters.bootstrap import (
     log_likelihood_fn,
 )
 from ssme_tpu.filters.liu_west import LiuWestFilter, LiuWestResult
+from ssme_tpu.filters.auxiliary import AuxiliaryParticleFilter
 
 __all__ = [
     "BootstrapFilter",
@@ -11,4 +12,5 @@ __all__ = [
     "log_likelihood_fn",
     "LiuWestFilter",
     "LiuWestResult",
+    "AuxiliaryParticleFilter",
 ]
