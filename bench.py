@@ -35,6 +35,7 @@ def main():
     num_replicates = int(os.environ.get("BENCH_REPLICATES", 16))
     num_chains = int(os.environ.get("BENCH_CHAINS", 8))
     num_iters = int(os.environ.get("BENCH_ITERS", 4))
+    impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
     baseline = 1e8  # north-star props/s/chip (BASELINE.json)
 
     data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -43,8 +44,15 @@ def main():
     t_len = ys.shape[0]
 
     model = svol.make_model()
+    batched_ll = None
+    if impl == "pallas" and jax.devices()[0].platform == "tpu":
+        from ssme_tpu.ops.svol_filter_kernel import (
+            svol_pallas_batched_log_like)
+        batched_ll = svol_pallas_batched_log_like(num_particles,
+                                                  num_replicates)
     pmmh = AdaptivePMMH(model, num_particles=num_particles,
-                        num_replicates=num_replicates, t0=150, t1=1000)
+                        num_replicates=num_replicates, t0=150, t1=1000,
+                        batched_log_like=batched_ll)
     start = jnp.asarray(svol.START_TRANS_THETA)
 
     state = pmmh.init(jax.random.key(0), start, ys, num_chains=num_chains)

@@ -75,7 +75,9 @@ class AuxiliaryParticleFilter:
         log_fsw = log_w + jax.vmap(
             lambda mu_x: m.log_g(params, y, mu_x, z))(lookahead)
 
-        ks = rv.categorical_from_log_weights(k_idx, log_fsw)
+        # sorted-spacings multinomial ancestors (exchangeable; see
+        # liu_west.py note) — avoids N^2 gumbels
+        ks = resampling.multinomial_indices(k_idx, log_fsw)
         x_anc = jnp.take(particles, ks, axis=0)
         lookahead_anc = jnp.take(lookahead, ks, axis=0)
 

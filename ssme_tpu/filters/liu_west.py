@@ -162,8 +162,11 @@ class LiuWestFilter:
         log_fsw = state.log_weights + jax.vmap(
             lambda mu_x, p: m.log_g(p, y, mu_x, z))(lookahead, shrunk_untrans)
 
-        # ancestor selection, lw:404
-        ks = rv.categorical_from_log_weights(k_idx, log_fsw)
+        # ancestor selection, lw:404.  Sorted-spacings multinomial: same
+        # distribution as k_gen's iid draws up to a permutation of output
+        # slots, which every downstream quantity is symmetric in — and
+        # O(N log N) instead of the N^2 gumbels of a categorical batch.
+        ks = resampling.multinomial_indices(k_idx, log_fsw)
         x_anc = jnp.take(state.particles, ks, axis=0)
         shrunk_anc = jnp.take(shrunk, ks, axis=0)
         untrans_anc = jnp.take(untrans_old, ks, axis=0)

@@ -93,6 +93,11 @@ class AdaptivePMMH:
     # (ssme_tpu.parallel.sharded_pf) or a Pallas-fused kernel path while
     # keeping the MH machinery identical.
     custom_log_like: Optional[callable] = None
+    # Optional fully-batched likelihood ``(key, params (C, d), ys[, zs])
+    # -> (C,)`` evaluating ALL chains' replicate-averaged likelihoods in
+    # one call (e.g. one Pallas kernel launch whose row axis is
+    # chains x replicates).  Overrides both per-replicate paths.
+    batched_log_like: Optional[callable] = None
 
     def __post_init__(self):
         self.model.require("log_prior")
@@ -168,8 +173,15 @@ class AdaptivePMMH:
 
         keys = jax.random.split(key, c)
         like_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-        log_like = jax.vmap(lambda k, th: self._log_like(k, th, ys, zs))(
-            like_keys, start)
+        if self.batched_log_like is not None:
+            params = self.model.transform.constrain(start)
+            if self.model.has_covariates:
+                log_like = self.batched_log_like(like_keys[0], params, ys, zs)
+            else:
+                log_like = self.batched_log_like(like_keys[0], params, ys)
+        else:
+            log_like = jax.vmap(lambda k, th: self._log_like(k, th, ys, zs))(
+                like_keys, start)
         log_prior = jax.vmap(self._log_prior_with_jacobian)(start)
         return PMMHState(
             trans_theta=start,
@@ -184,36 +196,34 @@ class AdaptivePMMH:
         )
 
     # ------------------------------------------------------------------
-    def _chain_step(self, state_slice, i, ys, zs):
-        """One MH iteration for one chain (``commence_sampling`` body,
-        ``ada_pmmh_mvn.h:332-360``)."""
-        (theta, old_ll, old_lp, mean, sigma_hat, ct, accept_ma, key) = state_slice
+    def _propose(self, state_slice, i):
+        """Per-chain: adapt moments/Ct and draw the MVN proposal
+        (``ada_pmmh_mvn.h:338-343``)."""
+        (theta, mean, sigma_hat, ct, key) = state_slice
         key, k_prop, k_like, k_u = jax.random.split(key, 4)
-
         mean, sigma_hat, ct = self._update_moments_and_ct(
             (theta, mean, sigma_hat, ct), i)
-
         # propose on the transformed space (ada_pmmh_mvn.h:260-269)
         chol = rv.chol_with_jitter(ct)
         proposed = theta + chol @ jax.random.normal(k_prop, theta.shape,
                                                     dtype=theta.dtype)
         new_lp = self._log_prior_with_jacobian(proposed)
-        new_ll = self._log_like(k_like, proposed, ys, zs)
+        return proposed, new_lp, mean, sigma_hat, ct, k_like, k_u, key
 
+    @staticmethod
+    def _accept(theta, old_ll, old_lp, accept_ma, proposed, new_ll, new_lp,
+                k_u, i):
+        """Per-chain MH accept/reject (``ada_pmmh_mvn.h:347-360``)."""
         log_accept = new_lp + new_ll - old_lp - old_ll  # :347
         log_u = jnp.log(jax.random.uniform(k_u, (), dtype=theta.dtype))
         accepted = log_u < log_accept  # NaN -> False, as the reference relies on
-
         theta = jnp.where(accepted, proposed, theta)
         old_ll = jnp.where(accepted, new_ll, old_ll)
         old_lp = jnp.where(accepted, new_lp, old_lp)
         fi = i.astype(theta.dtype)
         accept_ma = (jnp.where(accepted, 1.0, 0.0) / (fi + 1.0)
                      + fi * accept_ma / (fi + 1.0))  # :351,356
-
-        out = (theta, old_ll, old_lp, new_ll, new_lp, log_accept, accepted,
-               accept_ma)
-        return (theta, old_ll, old_lp, mean, sigma_hat, ct, accept_ma, key), out
+        return theta, old_ll, old_lp, accept_ma, log_accept, accepted
 
     # ------------------------------------------------------------------
     def run_from(self, state: PMMHState, num_iters, ys, zs=None) -> PMMHResult:
@@ -224,11 +234,27 @@ class AdaptivePMMH:
 
         def scan_body(carry, i):
             st = carry
-            slices = (st.trans_theta, st.log_like, st.log_prior, st.mean,
-                      st.sigma_hat, st.ct, st.accept_ma, st.key)
-            new_slices, out = jax.vmap(
-                lambda *s: self._chain_step(s, i, ys, zs))(*slices)
-            (theta, ll, lp, mean, sig, ct, ama, key) = new_slices
+            proposed, new_lp, mean, sig, ct, k_like, k_u, key = jax.vmap(
+                lambda *s: self._propose(s, i)
+            )(st.trans_theta, st.mean, st.sigma_hat, st.ct, st.key)
+
+            if self.batched_log_like is not None:
+                params = self.model.transform.constrain(proposed)
+                if self.model.has_covariates:
+                    new_ll = self.batched_log_like(k_like[0], params, ys, zs)
+                else:
+                    new_ll = self.batched_log_like(k_like[0], params, ys)
+            else:
+                new_ll = jax.vmap(
+                    lambda k, th: self._log_like(k, th, ys, zs)
+                )(k_like, proposed)
+
+            theta, ll, lp, ama, log_accept, accepted = jax.vmap(
+                lambda *s: self._accept(*s, i)
+            )(st.trans_theta, st.log_like, st.log_prior, st.accept_ma,
+              proposed, new_ll, new_lp, k_u)
+
+            out = (theta, ll, lp, new_ll, new_lp, log_accept, accepted, ama)
             new_state = PMMHState(theta, ll, lp, mean, sig, ct, ama, i, key)
             return new_state, out
 

@@ -1,0 +1,242 @@
+"""Pallas TPU kernel: the ENTIRE univ-SVOL bootstrap filter in VMEM.
+
+The flagship workload (reference ``example/estimate_univ_svol.h:108-131``:
+run a bootstrap filter over all T observations and sum the conditional
+log-likelihoods) executed as ONE ``pallas_call``:
+
+- grid = (B/8 filter-tiles, T time steps); for a fixed tile the T cells
+  run sequentially and the particle state (x, logw) persists in VMEM
+  scratch — the filter state NEVER touches HBM during the scan;
+- propagation + weighting use the TPU hardware PRNG (Box-Muller) fused
+  with the SVOL recursions (``univ_svol_bootstrap_filter.h:74-86``);
+- systematic resampling is gather-free: the weight CDF is one MXU matmul
+  with a lower-triangular ones matrix, and ancestor selection builds the
+  one-hot selection matrix S on the fly (two step-function compares) and
+  applies it as another MXU matmul.  XLA's alternatives measured on this
+  chip: dynamic lane gathers ~450us each, cumsum ~260us, dense compare
+  materialized to HBM ~690us — all avoided;
+- observations stream through SMEM (scalar prefetch); the total
+  log-likelihood accumulates in VMEM scratch and is written out once.
+
+Model hardcoded: univariate SVOL x' = phi x + sigma eps,
+y ~ N(0, (beta e^{x'/2})^2), stationary init (the reference example
+model); parameters (beta, phi, sigma) per filter row.
+
+Restrictions: dim_state = 1; N (particles) multiple of 128; B multiple
+of 8; resampling every step with the systematic scheme.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+_HALF_LOG_2PI = 0.9189385332046727
+
+TILE_B = 8
+
+
+def _normal_bits(shape):
+    """Standard normals from the hardware PRNG via Box-Muller."""
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    inv = 1.0 / 4294967296.0
+    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * inv  # (0, 1]
+    u2 = (bits2.astype(jnp.float32) + 2147483648.0) * inv        # [0, 1)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _uniform_bits(shape):
+    bits = pltpu.prng_random_bits(shape)
+    return (bits.astype(jnp.float32) + 2147483648.0) * (1.0 / 4294967296.0)
+
+
+def _make_kernel(num_particles: int, num_steps: int):
+    n = num_particles
+    t_last = num_steps - 1
+
+    def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref,
+               x_scr, lw_scr, acc_scr):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        # prng_seed accepts at most 2 values; mix the tile index in
+        pltpu.prng_seed(seed_ref[0] + b * 1000003, t)
+
+        beta = params_ref[:, 0:1]
+        phi = params_ref[:, 1:2]
+        sigma = params_ref[:, 2:3]
+        y = ys_ref[t]
+
+        # ---- resample previous cloud (t > 0) --------------------------
+        @pl.when(t > 0)
+        def _():
+            lw = lw_scr[:]                                   # (8, n)
+            m = jnp.max(lw, axis=-1, keepdims=True)
+            w = jnp.exp(lw - m)
+            # inclusive prefix sum along lanes on the MXU:
+            # cdf[r,i] = sum_{k<=i} w[r,k] = (w @ LT)[r,i]
+            cdf = jax.lax.dot_general(
+                w, lt_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            total = cdf[:, n - 1:n]                           # (8, 1)
+            cdf_ex = cdf - w                                  # exclusive
+            u0 = _uniform_bits((TILE_B, 1))                   # (8, 1)
+
+            xt = jnp.transpose(x_scr[:])                      # (n, 8)
+            cols = []
+            for row in range(TILE_B):
+                # u as a synthesized COLUMN: (j + u0) / n * total
+                jcol = jax.lax.broadcasted_iota(
+                    jnp.int32, (n, 1), 0).astype(jnp.float32)
+                u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
+                cdf_row = cdf[row:row + 1, :]                 # (1, n)
+                cdfx_row = cdf_ex[row:row + 1, :]
+                # one-hot selection: first i with cdf_i >= u_j
+                sel = jnp.where(
+                    (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
+                # (n_out, n_in) @ (n_in, 8) on the MXU; keep column `row`
+                picked = jax.lax.dot_general(
+                    sel, xt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cols.append(picked[:, row:row + 1])
+            x_scr[:] = jnp.transpose(jnp.concatenate(cols, axis=1))
+            # propagate resampled particles
+            x_scr[:] = phi * x_scr[:] + sigma * _normal_bits((TILE_B, n))
+
+        # ---- init (t == 0): stationary draw ---------------------------
+        @pl.when(t == 0)
+        def _():
+            sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+            x_scr[:] = _normal_bits((TILE_B, n)) * sd0
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        # ---- weight ---------------------------------------------------
+        sd = beta * jnp.exp(0.5 * x_scr[:])
+        z = y / sd
+        lw = -_HALF_LOG_2PI - jnp.log(sd) - 0.5 * z * z
+        lw_scr[:] = lw
+
+        # ---- conditional log-likelihood (resample-every-step form) ----
+        m = jnp.max(lw, axis=-1, keepdims=True)
+        s = jnp.sum(jnp.exp(lw - m), axis=-1, keepdims=True)
+        lcl = m + jnp.log(s) - np.log(float(n))               # (8, 1)
+        acc_scr[:, 0:1] += lcl
+
+        @pl.when(t == t_last)
+        def _():
+            out_ref[:] = acc_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_particles", "interpret"))
+def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
+    """Full-sequence SVOL bootstrap filtering for B filters at once.
+
+    seed: int32 scalar; params: (B, 3) constrained [beta, phi, sigma]
+    (note: sigma, NOT sigma^2 — precompute sqrt); ys: (T,) or (T, 1).
+    Returns (B,) total log-likelihoods (sum_t log p(y_t | y_{1:t-1})).
+    """
+    ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
+    t_len = ys.shape[0]
+    b = params.shape[0]
+    n = num_particles
+    if b % TILE_B:
+        raise ValueError(f"B={b} must be a multiple of {TILE_B}")
+    if n % 128:
+        raise ValueError(f"num_particles={n} must be a multiple of 128")
+
+    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)  # [k<=i] as k x i
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+
+    out = pl.pallas_call(
+        _make_kernel(n, t_len),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # seed, ys (SMEM)
+            grid=(b // TILE_B, t_len),
+            in_specs=[
+                pl.BlockSpec((TILE_B, 3), lambda i, t, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_B, 128), lambda i, t, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((TILE_B, n), jnp.float32),    # particles
+                pltpu.VMEM((TILE_B, n), jnp.float32),    # log-weights
+                pltpu.VMEM((TILE_B, 128), jnp.float32),  # loglik accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, ys, params.astype(jnp.float32), lt)
+    return out[:, 0]
+
+
+def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
+    """PMMH likelihood hook: replicate-averaged pallas filter.
+
+    Returns ``ll(key, params, ys) -> scalar`` where ``params`` is the
+    constrained (beta, phi, ss) vector (reference ordering; ss = sigma^2,
+    ``univ_svol_bootstrap_filter.h:54-61``).  Runs ``num_replicates``
+    filters in one kernel launch and log-mean-exps them
+    (``thread_pool.h:259-273`` semantics).
+    """
+    r = num_replicates
+    b = ((r + TILE_B - 1) // TILE_B) * TILE_B
+
+    def ll(key, params, ys):
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        p = jnp.stack([params[0], params[1], jnp.sqrt(params[2])])
+        batch = jnp.broadcast_to(p, (b, 3))
+        vals = svol_filter_pallas(seed, batch, ys,
+                                  num_particles=num_particles)[:r]
+        m = jnp.max(vals)
+        return m + jnp.log(jnp.sum(jnp.exp(vals - m))) - jnp.log(float(r))
+
+    return ll
+
+
+def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
+    """PMMH ``batched_log_like`` hook: ALL chains x replicates in one
+    kernel launch.
+
+    Returns ``ll(key, params (C, 3), ys) -> (C,)`` with ``params`` the
+    constrained (beta, phi, ss) rows.  The kernel's row axis is laid out
+    chain-major: row c*R + r is replicate r of chain c; the per-chain
+    log-mean-exp reduction replaces the averaging thread pool
+    (``thread_pool.h:259-273``).
+    """
+    r = num_replicates
+
+    def ll(key, params, ys):
+        c = params.shape[0]
+        b_needed = c * r
+        b = ((b_needed + TILE_B - 1) // TILE_B) * TILE_B
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        p = jnp.stack([params[:, 0], params[:, 1],
+                       jnp.sqrt(params[:, 2])], axis=-1)     # (C, 3)
+        batch = jnp.repeat(p, r, axis=0)                      # (C*R, 3)
+        batch = jnp.concatenate(
+            [batch, jnp.ones((b - b_needed, 3), batch.dtype)], axis=0)
+        vals = svol_filter_pallas(seed, batch, ys,
+                                  num_particles=num_particles)
+        vals = vals[:b_needed].reshape(c, r)
+        m = jnp.max(vals, axis=-1, keepdims=True)
+        return (m[:, 0] + jnp.log(jnp.sum(jnp.exp(vals - m), axis=-1))
+                - jnp.log(float(r)))
+
+    return ll
+
+
+__all__ = ["svol_filter_pallas", "svol_pallas_replicated_log_like",
+           "svol_pallas_batched_log_like", "TILE_B"]

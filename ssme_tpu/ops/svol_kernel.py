@@ -60,7 +60,8 @@ def _kernel(seed_ref, y_ref, params_ref, x_ref, lw_ref, out_x_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     # distinct stream per grid cell and per call
-    pltpu.prng_seed(seed_ref[0], i, j)
+    # prng_seed accepts at most 2 values; mix the tile indices
+    pltpu.prng_seed(seed_ref[0] + i * 1000003, j)
 
     shape = x_ref.shape  # (TILE_B, TILE_N)
     # Box-Muller from two uint32 draws; u in (0,1]
