@@ -69,6 +69,10 @@ class BootstrapFilter:
     # liu_west_filter.h:1568-1571, taken to its use).
     ess_threshold: float = None
     functionals: Tuple[Callable, ...] = ()
+    # verbose per-step tracing via jax.debug.print — the analog of the
+    # reference's compile-time ``debug`` template flag gating prints
+    # (e.g. liu_west_filter.h:395-399; declared per-class, SURVEY §5.5)
+    debug: bool = False
 
     # ------------------------------------------------------------------
     def _apply_functionals(self, particles, z, params, log_w):
@@ -164,7 +168,12 @@ class BootstrapFilter:
             particles, log_w, lcl = self.step(k_t, params, particles, log_w,
                                               t, y, z)
             exps = self._apply_functionals(particles, z, params, log_w)
-            return (particles, log_w, key), (lcl, exps, ess(log_w))
+            e = ess(log_w)
+            if self.debug:
+                jax.debug.print(
+                    "time: {t}, log cond like: {lcl}, ess: {e}",
+                    t=t, lcl=lcl, e=e)
+            return (particles, log_w, key), (lcl, exps, e)
 
         (particles, log_w, _), (lcls, exps, esss) = jax.lax.scan(
             scan_step, (particles, log_w, k_scan), (ts,) + rest)

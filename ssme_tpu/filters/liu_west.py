@@ -78,6 +78,9 @@ class LiuWestFilter:
     resampler: str = "multinomial"  # reference uses joint multinomial
     resample_every: int = 1
     functionals: Tuple[Callable, ...] = ()
+    # verbose per-step tracing (reference debug template flag,
+    # liu_west_filter.h:436-442,454-455)
+    debug: bool = False
 
     def __post_init__(self):
         if self.variant not in ("apf", "sisr"):
@@ -277,6 +280,10 @@ class LiuWestFilter:
                 (y,) = inp
                 z = None
             state, lcl, exps, e = self.step(state, y, z)
+            if self.debug:
+                jax.debug.print(
+                    "time: {t}, log cond like: {lcl}, ess: {e}",
+                    t=state.t, lcl=lcl, e=e)
             return state, (lcl, exps, e)
 
         state, (lcls, exps, esss) = jax.lax.scan(scan_step, state, rest)

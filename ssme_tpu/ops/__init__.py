@@ -2,5 +2,16 @@ from ssme_tpu.ops.svol_kernel import (
     fused_svol_propagate_weight,
     pallas_available,
 )
+from ssme_tpu.ops.svol_filter_kernel import (
+    svol_filter_pallas,
+    svol_pallas_batched_log_like,
+    svol_pallas_replicated_log_like,
+)
 
-__all__ = ["fused_svol_propagate_weight", "pallas_available"]
+__all__ = [
+    "fused_svol_propagate_weight",
+    "pallas_available",
+    "svol_filter_pallas",
+    "svol_pallas_batched_log_like",
+    "svol_pallas_replicated_log_like",
+]
