@@ -40,21 +40,35 @@ def _weight_cdf(log_weights):
     return cdf / cdf[..., -1:]
 
 
+# Use the dense comparison-count up to this many (N * M) elements per
+# filter; beyond it, vectorized bisection.  Measured on TPU v5e in-scan at
+# (B=128, N=M=512): matrix ~690us/step (dense compare does not fuse and
+# hits HBM) but bisection ~4.3ms/step (9 data-dependent lane gathers at
+# ~450us each) — the matrix wins until N*M outgrows HBM bandwidth.
+# (The Pallas megakernel in ssme_tpu.ops avoids both; this is the
+# generic-model path.)
+_MATRIX_SEARCH_LIMIT = 1 << 20
+
+
 def searchsorted_cdf(cdf, u):
     """``searchsorted(cdf, u, side='left')`` tuned for TPU.
 
-    Manual vectorized bisection: log2(N) rounds, each one batched gather +
-    compare/select over all M queries at once.  On TPU this is ~40x
-    faster in-scan than both ``jnp.searchsorted`` (sequential-loop
-    lowering, ~380us/step at (8, 512)) and a dense (M, N)
-    comparison-count (materializes B*M*N to HBM, ~690us/step at
-    (128, 512, 512)); batched gathers measure at ~0.3us/step.
+    ``jnp.searchsorted``'s default lowering is a sequential loop
+    (~380us/step in-scan at (8, 512) measured on v5e).  For per-filter
+    problems up to ``_MATRIX_SEARCH_LIMIT`` elements the count
+    formulation  idx_j = #\\{i : cdf_i < u_j\\}  (one dense compare +
+    reduction) is fastest despite materializing to HBM; larger problems
+    fall back to log2(N) rounds of batched-gather bisection.
 
     ``cdf``: (..., N) sorted ascending; ``u``: (M,) or (..., M).
     Returns indices in [0, N-1]: the first i with cdf[i] >= u.
     """
     n = cdf.shape[-1]
     u = jnp.asarray(u)
+    m = u.shape[-1]
+    if n * m <= _MATRIX_SEARCH_LIMIT:
+        lt = (cdf[..., None, :] < u[..., :, None]).astype(jnp.int32)
+        return jnp.clip(jnp.sum(lt, axis=-1), 0, n - 1)
     if u.ndim < cdf.ndim:
         u = jnp.broadcast_to(u, cdf.shape[:-1] + u.shape[-1:])
     lo = jnp.zeros(u.shape, dtype=jnp.int32)
