@@ -15,8 +15,9 @@ log-likelihoods) executed as ONE ``pallas_call``:
   applies it as another MXU matmul.  XLA's alternatives measured on this
   chip: dynamic lane gathers ~450us each, cumsum ~260us, dense compare
   materialized to HBM ~690us — all avoided;
-- observations stream through SMEM (scalar prefetch); the total
-  log-likelihood accumulates in VMEM scratch and is written out once.
+- observations stream through SMEM (scalar prefetch); per-step
+  conditional log-likelihoods are staged in the revisited output block
+  (flushed to HBM once per 128 steps).
 
 Model hardcoded: univariate SVOL x' = phi x + sigma eps,
 y ~ N(0, (beta e^{x'/2})^2), stationary init (the reference example
@@ -64,7 +65,7 @@ def _make_kernel(num_particles: int, num_steps: int):
     t_last = num_steps - 1
 
     def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref,
-               x_scr, lw_scr, acc_scr):
+               x_scr, lw_scr):
         b = pl.program_id(0)
         t = pl.program_id(1)
         # prng_seed accepts at most 2 values; mix the tile index in
@@ -116,7 +117,6 @@ def _make_kernel(num_particles: int, num_steps: int):
         def _():
             sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
             x_scr[:] = _normal_bits((TILE_B, n)) * sd0
-            acc_scr[:] = jnp.zeros_like(acc_scr)
 
         # ---- weight ---------------------------------------------------
         sd = beta * jnp.exp(0.5 * x_scr[:])
@@ -124,15 +124,21 @@ def _make_kernel(num_particles: int, num_steps: int):
         lw = -_HALF_LOG_2PI - jnp.log(sd) - 0.5 * z * z
         lw_scr[:] = lw
 
-        # ---- conditional log-likelihood (resample-every-step form) ----
+        # ---- per-step conditional log-likelihood ----------------------
+        # (resample-every-step bootstrap form: LSE(logw) - log N)
         m = jnp.max(lw, axis=-1, keepdims=True)
         s = jnp.sum(jnp.exp(lw - m), axis=-1, keepdims=True)
         lcl = m + jnp.log(s) - np.log(float(n))               # (8, 1)
-        acc_scr[:, 0:1] += lcl
 
-        @pl.when(t == t_last)
-        def _():
-            out_ref[:] = acc_scr[:]
+        # stage into the current (8, 128) output block; pallas keeps the
+        # block in VMEM while t // 128 is unchanged and flushes on change.
+        # Mosaic cannot store a single dynamic lane column, so write the
+        # whole block through a lane mask (zeroing it at col 0 covers the
+        # padding lanes of the final partial block).
+        col = jax.lax.rem(t, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
+        base = jnp.where(col == 0, jnp.zeros_like(out_ref), out_ref[:])
+        out_ref[:] = jnp.where(lane == col, lcl, base)
 
     return kernel
 
@@ -143,7 +149,8 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
 
     seed: int32 scalar; params: (B, 3) constrained [beta, phi, sigma]
     (note: sigma, NOT sigma^2 — precompute sqrt); ys: (T,) or (T, 1).
-    Returns (B,) total log-likelihoods (sum_t log p(y_t | y_{1:t-1})).
+    Returns (total (B,), per_step (B, T)) log conditional likelihoods
+    (total = sum_t log p(y_t | y_{1:t-1})).
     """
     ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
     t_len = ys.shape[0]
@@ -156,8 +163,9 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)  # [k<=i] as k x i
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    t_pad = ((t_len + 127) // 128) * 128
 
-    out = pl.pallas_call(
+    lcls = pl.pallas_call(
         _make_kernel(n, t_len),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
@@ -168,18 +176,19 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
                 pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TILE_B, 128), lambda i, t, *_: (i, 0),
+            out_specs=pl.BlockSpec((TILE_B, 128),
+                                   lambda i, t, *_: (i, t // 128),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((TILE_B, n), jnp.float32),    # particles
                 pltpu.VMEM((TILE_B, n), jnp.float32),    # log-weights
-                pltpu.VMEM((TILE_B, 128), jnp.float32),  # loglik accumulator
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, ys, params.astype(jnp.float32), lt)
-    return out[:, 0]
+    lcls = lcls[:, :t_len]
+    return jnp.sum(lcls, axis=-1), lcls
 
 
 def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
@@ -198,8 +207,9 @@ def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         p = jnp.stack([params[0], params[1], jnp.sqrt(params[2])])
         batch = jnp.broadcast_to(p, (b, 3))
-        vals = svol_filter_pallas(seed, batch, ys,
-                                  num_particles=num_particles)[:r]
+        vals, _ = svol_filter_pallas(seed, batch, ys,
+                                     num_particles=num_particles)
+        vals = vals[:r]
         m = jnp.max(vals)
         return m + jnp.log(jnp.sum(jnp.exp(vals - m))) - jnp.log(float(r))
 
@@ -228,8 +238,8 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
         batch = jnp.repeat(p, r, axis=0)                      # (C*R, 3)
         batch = jnp.concatenate(
             [batch, jnp.ones((b - b_needed, 3), batch.dtype)], axis=0)
-        vals = svol_filter_pallas(seed, batch, ys,
-                                  num_particles=num_particles)
+        vals, _ = svol_filter_pallas(seed, batch, ys,
+                                     num_particles=num_particles)
         vals = vals[:b_needed].reshape(c, r)
         m = jnp.max(vals, axis=-1, keepdims=True)
         return (m[:, 0] + jnp.log(jnp.sum(jnp.exp(vals - m), axis=-1))
@@ -238,5 +248,38 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
     return ll
 
 
+def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512):
+    """Particle-swarm conditional evidence at megakernel speed.
+
+    The swarm (``pswarm_filter.h:22-305``) runs one bootstrap filter per
+    parameter draw and averages per-step conditional likelihoods across
+    models.  Here the filter bank IS the kernel's row axis.
+
+    ``param_draws``: (M, 3) constrained (beta, phi, ss) rows (e.g. from
+    ``ssme_tpu.io.ParamSampler``).  Returns a dict with the per-step
+    aggregates: ``log_cond_like`` (T,) = logmeanexp over models (the
+    conditional evidence) and ``mean_log_cond_like`` (T,) = the
+    reference's arithmetic-mean-of-logs aggregation
+    (``pswarm_filter.h:103,136``), plus the per-model matrix.
+    """
+    p = jnp.asarray(param_draws)
+    m_models = p.shape[0]
+    b = ((m_models + TILE_B - 1) // TILE_B) * TILE_B
+    batch = jnp.stack([p[:, 0], p[:, 1], jnp.sqrt(p[:, 2])], axis=-1)
+    batch = jnp.concatenate(
+        [batch, jnp.ones((b - m_models, 3), batch.dtype)], axis=0)
+    _, lcls = svol_filter_pallas(seed, batch, ys,
+                                 num_particles=num_particles)
+    lcls = lcls[:m_models]                                   # (M, T)
+    mx = jnp.max(lcls, axis=0, keepdims=True)
+    log_cond_like = (mx[0] + jnp.log(jnp.mean(jnp.exp(lcls - mx), axis=0)))
+    return {
+        "log_cond_like": log_cond_like,
+        "mean_log_cond_like": jnp.mean(lcls, axis=0),
+        "per_model_log_cond_likes": lcls,
+    }
+
+
 __all__ = ["svol_filter_pallas", "svol_pallas_replicated_log_like",
-           "svol_pallas_batched_log_like", "TILE_B"]
+           "svol_pallas_batched_log_like", "svol_swarm_evidence_pallas",
+           "TILE_B"]

@@ -30,10 +30,13 @@ def test_shape_validation():
 def test_interpret_runs_finite():
     params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
     ys = 0.3 * jnp.ones(16)
-    out = svol_filter_pallas(3, params, ys, num_particles=128,
-                             interpret=True)
-    assert out.shape == (8,)
-    assert np.all(np.isfinite(np.asarray(out)))
+    total, lcls = svol_filter_pallas(3, params, ys, num_particles=128,
+                                     interpret=True)
+    assert total.shape == (8,)
+    assert lcls.shape == (8, 16)
+    assert np.all(np.isfinite(np.asarray(total)))
+    np.testing.assert_allclose(np.asarray(lcls.sum(-1)),
+                               np.asarray(total), rtol=1e-5)
 
 
 @pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
@@ -46,7 +49,7 @@ def test_megakernel_matches_xla_filter_statistically():
     p_ref = jnp.array([1.0, 0.5, 0.02])
     batch = jnp.broadcast_to(jnp.array([1.0, 0.5, float(np.sqrt(0.02))]),
                              (B, 3))
-    vals = svol_filter_pallas(7, batch, ys, num_particles=512)
+    vals, _ = svol_filter_pallas(7, batch, ys, num_particles=512)
     ll = log_likelihood_fn(svol.make_model(), num_particles=512)
     ref = jax.vmap(lambda k: ll(k, p_ref, ys[:, None]))(
         jax.random.split(jax.random.key(2), B))
@@ -65,3 +68,14 @@ def test_batched_log_like_hook():
     assert np.all(np.isfinite(np.asarray(out)))
     # identical params rows -> near-identical replicate-averaged values
     assert float(jnp.std(out)) < 2.0
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_swarm_evidence_pallas():
+    from ssme_tpu.ops.svol_filter_kernel import svol_swarm_evidence_pallas
+    draws = jnp.tile(jnp.array([[1.0, 0.5, 0.02]]), (12, 1))
+    ys = 0.5 * jax.random.normal(jax.random.key(5), (96,))
+    out = svol_swarm_evidence_pallas(9, draws, ys, num_particles=256)
+    assert out["log_cond_like"].shape == (96,)
+    assert out["per_model_log_cond_likes"].shape == (12, 96)
+    assert np.all(np.isfinite(np.asarray(out["log_cond_like"])))
