@@ -1,0 +1,339 @@
+"""Pallas TPU kernel: entire Liu-West (APF) filter for SVOL-with-leverage.
+
+The reference's Liu-West flagship model (``test/test_liu_west.cpp:25-157``,
+parameters (phi, mu, sigma, rho) with transforms {logit, null, log,
+twice_fisher}) filtered jointly over states AND parameters in one
+``pallas_call`` — the full ``LWFilter::filter`` loop
+(``include/ssme/liu_west_filter.h:365-552``) in VMEM.
+
+Layout: one filter per (8, N) tile; ROWS are channels:
+  row 0: x (log-vol state)        row 2-5: transformed theta
+  row 1: log-weights              rows 6-7: zero padding
+All cross-particle operations reuse the gather-free machinery of the
+bootstrap megakernel: prefix sums and ancestor selection as MXU matmuls;
+the parameter-kernel covariance is a (8, N) x (N, 8) Gram matmul staged
+through VMEM scratch, with the 4x4 Cholesky unrolled in scalars.
+
+Algorithm per t>0 cell (reference lines in liu_west_filter.h):
+  1. theta_bar, Vt from the particle cloud          [:569-583]
+  2. shrink m_i = a theta_i + (1-a) theta_bar       [:424]
+  3. first-stage weights lw_i + logG(y, propMu(x_i), m_i)  [:379-401]
+     (shrinkage done in transformed space — the documented fix of the
+      reference's space mixing at :385-388)
+  4. systematic ancestor selection on first-stage weights   [:404]
+  5. theta' = m_anc + chol(h^2 Vt) eps              [:426-427]
+  6. x' = fSamp(x_anc, z, theta')                   [:431]
+  7. lw' = logG(y, x') - logG(y, propMu_anc)        [:433-434]
+     (logG of this model is parameter-free, test_liu_west.cpp:133-136)
+  8. lcl = LSE(lw') + LSE(fsw) - 2 LSE(lw)          [:449-452]
+  9. joint (x, theta) systematic resample           [:480-481]
+
+The covariate z_t is the previous observation (leverage), read from the
+SMEM-prefetched series.  Restrictions: N multiple of 128; resampling
+every step; prior = uniform box over (phi, mu, sigma, rho).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.283185307179586
+_HALF_LOG_2PI = 0.9189385332046727
+
+TILE = 8
+N_PARAM = 4  # phi, mu, sigma, rho
+
+
+def _normal_bits(shape):
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    inv = 1.0 / 4294967296.0
+    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * inv
+    u2 = (bits2.astype(jnp.float32) + 2147483648.0) * inv
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _uniform_bits(shape):
+    bits = pltpu.prng_random_bits(shape)
+    return (bits.astype(jnp.float32) + 2147483648.0) * (1.0 / 4294967296.0)
+
+
+def _constrain_rows(theta):
+    """(4, n) transformed -> constrained (phi, mu, sigma, rho) rows."""
+    phi = 1.0 / (1.0 + jnp.exp(-theta[0:1, :]))        # logit^-1
+    mu = theta[1:2, :]
+    sigma = jnp.exp(theta[2:3, :])
+    rho = jnp.tanh(0.5 * theta[3:4, :])                # twice_fisher^-1
+    return phi, mu, sigma, rho
+
+
+def _log_g(y, x):
+    # N(y; 0, e^{x/2}) — parameter-free (test_liu_west.cpp:133-136)
+    sd = jnp.exp(0.5 * x)
+    z = y / sd
+    return -_HALF_LOG_2PI - 0.5 * x - 0.5 * z * z
+
+
+def _lse_row(row):
+    m = jnp.max(row, axis=-1, keepdims=True)
+    return m + jnp.log(jnp.sum(jnp.exp(row - m), axis=-1, keepdims=True))
+
+
+def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
+                  resample_every=1):
+    n = num_particles
+    t_last = num_steps - 1
+    a = shrink_a
+    lo = np.asarray(prior_lo, np.float32)
+    hi = np.asarray(prior_hi, np.float32)
+    h2 = 1.0 - a * a
+
+    def kernel(seed_ref, ys_ref, lt_ref, lcl_ref, cloud_ref,
+               s_scr, gram_scr):
+        f = pl.program_id(0)
+        t = pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0] + f * 1000003, t)
+        y = ys_ref[t]
+
+        def stage_lcl(lcl_val):
+            col = jax.lax.rem(t, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+            base = jnp.where(col == 0, jnp.zeros_like(lcl_ref),
+                             lcl_ref[:])
+            lcl_ref[:] = jnp.where(lane == col, lcl_val, base)
+
+        def select_matmul(weights_row, u0_scalar, src):
+            """src (8, n); returns the (8, n) of systematically-selected
+            ancestor columns, via one-hot matmul (no gathers)."""
+            wtile = jnp.broadcast_to(weights_row, (TILE, n))
+            cdf8 = jax.lax.dot_general(
+                wtile, lt_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cdf = cdf8[0:1, :]
+            total = cdf8[0, n - 1]
+            cdf_ex = cdf - weights_row
+            jcol = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(
+                jnp.float32)
+            u_col = (jcol + u0_scalar) * (total / n)
+            sel = jnp.where((cdf >= u_col) & (cdf_ex < u_col), 1.0, 0.0)
+            picked = jax.lax.dot_general(
+                sel, jnp.transpose(src), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.transpose(picked)
+
+        def joint_resample(state_tile, lw_row, do):
+            """Joint (x, theta) systematic resample; weights reset to 0
+            (liu_west_filter.h:90-145 semantics)."""
+            m = jnp.max(lw_row, axis=-1, keepdims=True)
+            w = jnp.exp(lw_row - m)
+            u0 = _uniform_bits((1, 1))[0, 0]
+            picked = select_matmul(w, u0, state_tile)
+            new_tile = jnp.where(do, picked, state_tile)
+            # zero the log-weight row if resampled
+            lane_row = jax.lax.broadcasted_iota(jnp.int32, (TILE, n), 0)
+            new_tile = jnp.where(do & (lane_row == 1),
+                                 jnp.zeros_like(new_tile), new_tile)
+            return new_tile
+
+        @pl.when(t == 0)
+        def _():
+            u = _uniform_bits((N_PARAM, n))
+            # python-float bounds (array constants can't be captured)
+            phi_c = float(lo[0]) + float(hi[0] - lo[0]) * u[0:1]
+            mu_c = float(lo[1]) + float(hi[1] - lo[1]) * u[1:2]
+            sig_c = float(lo[2]) + float(hi[2] - lo[2]) * u[2:3]
+            rho_c = float(lo[3]) + float(hi[3] - lo[3]) * u[3:4]
+            th = jnp.concatenate([
+                jnp.log(phi_c) - jnp.log1p(-phi_c),
+                mu_c,
+                jnp.log(sig_c),
+                jnp.log1p(rho_c) - jnp.log1p(-rho_c),
+            ], axis=0)
+            sd0 = sig_c / jnp.sqrt(1.0 - phi_c * phi_c)
+            x = _normal_bits((1, n)) * sd0
+            lw = _log_g(y, x)
+            tile = jnp.concatenate(
+                [x, lw, th, jnp.zeros((2, n), jnp.float32)], axis=0)
+            lcl_val = _lse_row(lw)[0, 0] - np.log(float(n))
+            stage_lcl(lcl_val)
+            do = jnp.asarray(resample_every == 1)
+            s_scr[:] = joint_resample(tile, lw, do)
+
+        @pl.when(t > 0)
+        def _():
+            x = s_scr[0:1, :]
+            lw = s_scr[1:2, :]
+            th = s_scr[2:6, :]
+            z = ys_ref[t - 1]
+
+            theta_bar = jnp.mean(th, axis=-1, keepdims=True)
+            pad21 = jnp.zeros((2, 1), jnp.float32)
+            centered = s_scr[:] - jnp.concatenate(
+                [pad21, theta_bar, pad21], axis=0)
+            gram = jax.lax.dot_general(
+                centered, jnp.transpose(centered),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / float(n)
+            gram_scr[:, 0:8] = gram
+
+            shrunk = a * th + (1.0 - a) * theta_bar
+            phi_o, mu_o, sig_o, rho_o = _constrain_rows(th)
+
+            look = (mu_o + phi_o * (x - mu_o)
+                    + z * rho_o * sig_o * jnp.exp(-0.5 * x))
+            log_fsw = lw + _log_g(y, look)
+
+            mfs = jnp.max(log_fsw, axis=-1, keepdims=True)
+            w_fs = jnp.exp(log_fsw - mfs)
+            u0 = _uniform_bits((1, 1))[0, 0]
+            gather_src = jnp.concatenate(
+                [x, look, shrunk, jnp.zeros((2, n), jnp.float32)], axis=0)
+            anc = select_matmul(w_fs, u0, gather_src)
+            x_anc = anc[0:1, :]
+            look_anc = anc[1:2, :]
+            shrunk_anc = anc[2:6, :]
+
+            def g(i, j):
+                return h2 * gram_scr[2 + i, 2 + j]
+            eps_r = 1e-9
+            l00 = jnp.sqrt(jnp.maximum(g(0, 0), eps_r))
+            l10 = g(1, 0) / l00
+            l20 = g(2, 0) / l00
+            l30 = g(3, 0) / l00
+            l11 = jnp.sqrt(jnp.maximum(g(1, 1) - l10 * l10, eps_r))
+            l21 = (g(2, 1) - l20 * l10) / l11
+            l31 = (g(3, 1) - l30 * l10) / l11
+            l22 = jnp.sqrt(jnp.maximum(g(2, 2) - l20 * l20 - l21 * l21,
+                                       eps_r))
+            l32 = (g(3, 2) - l30 * l20 - l31 * l21) / l22
+            l33 = jnp.sqrt(jnp.maximum(
+                g(3, 3) - l30 * l30 - l31 * l31 - l32 * l32, eps_r))
+
+            e = _normal_bits((N_PARAM, n))
+            th_new = jnp.concatenate([
+                shrunk_anc[0:1] + l00 * e[0:1],
+                shrunk_anc[1:2] + l10 * e[0:1] + l11 * e[1:2],
+                shrunk_anc[2:3] + l20 * e[0:1] + l21 * e[1:2]
+                + l22 * e[2:3],
+                shrunk_anc[3:4] + l30 * e[0:1] + l31 * e[1:2]
+                + l32 * e[2:3] + l33 * e[3:4],
+            ], axis=0)
+
+            phi_n, mu_n, sig_n, rho_n = _constrain_rows(th_new)
+            mean = (mu_n + phi_n * (x_anc - mu_n)
+                    + z * rho_n * sig_n * jnp.exp(-0.5 * x_anc))
+            sd = sig_n * jnp.sqrt(1.0 - rho_n * rho_n)
+            x_new = mean + sd * _normal_bits((1, n))
+
+            lw_new = _log_g(y, x_new) - _log_g(y, look_anc)
+
+            lcl_val = (_lse_row(lw_new)[0, 0] + _lse_row(log_fsw)[0, 0]
+                       - 2.0 * _lse_row(lw)[0, 0])
+            stage_lcl(lcl_val)
+
+            tile = jnp.concatenate(
+                [x_new, lw_new, th_new, jnp.zeros((2, n), jnp.float32)],
+                axis=0)
+            do = jnp.asarray((resample_every == 1)) | (
+                jax.lax.rem(t + 1, resample_every) == 0)
+            s_scr[:] = joint_resample(tile, lw_new, do)
+
+        @pl.when(t == t_last)
+        def _():
+            cloud_ref[:] = s_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_filters", "num_particles", "delta", "resample_every", "interpret"))
+def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
+                            delta=0.99, prior_bounds=None,
+                            resample_every=1, interpret=False):
+    """Full-sequence Liu-West (APF) filtering of the leverage model.
+
+    seed: int32; ys: (T,) or (T, 1) observations (z_t = y_{t-1} feeds back
+    automatically; z_0 = 0 is approximated by y_{-1} := y_0's predecessor
+    being absent — the t=0 step does not use a covariate).
+
+    Returns dict with ``log_cond_likes`` (F, T), ``log_likelihood`` (F,),
+    and ``cloud`` (F, 8, N): rows [x, logw, theta_trans x4, 0, 0] — the
+    final joint particle cloud (constrain theta rows with the model's
+    transforms for posterior summaries).
+    """
+    from ssme_tpu.models.svol_leverage import DEFAULT_PRIOR_BOUNDS
+    if prior_bounds is None:
+        prior_bounds = DEFAULT_PRIOR_BOUNDS
+    lo = [b[0] for b in prior_bounds]
+    hi = [b[1] for b in prior_bounds]
+
+    ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
+    t_len = ys.shape[0]
+    n = num_particles
+    if n % 128:
+        raise ValueError(f"num_particles={n} must be a multiple of 128")
+    shrink_a = (3.0 * delta - 1.0) / (2.0 * delta)
+
+    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    t_pad = ((t_len + 127) // 128) * 128
+
+    lcls, cloud = pl.pallas_call(
+        _build_kernel(n, t_len, shrink_a, lo, hi, resample_every),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # seed, ys
+            grid=(num_filters, t_len),
+            in_specs=[
+                pl.BlockSpec((n, n), lambda f, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE, 128), lambda f, t, *_: (f, t // 128),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, n), lambda f, t, *_: (f, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TILE, n), jnp.float32),    # state tile
+                pltpu.VMEM((TILE, 128), jnp.float32),  # gram staging
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_filters * TILE, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_filters * TILE, n), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, ys, lt)
+
+    # lcl was broadcast to all 8 rows of its tile; take row 0 of each
+    lcls = lcls.reshape(num_filters, TILE, t_pad)[:, 0, :t_len]
+    cloud = cloud.reshape(num_filters, TILE, n)
+    return {
+        "log_cond_likes": lcls,
+        "log_likelihood": jnp.sum(lcls, axis=-1),
+        "cloud": cloud,
+    }
+
+
+def lw_cloud_params(cloud):
+    """Constrained (phi, mu, sigma, rho) particles from a kernel cloud.
+
+    ``cloud``: (F, 8, N) -> (F, N, 4) constrained parameter particles.
+    """
+    th = cloud[:, 2:6, :]
+    phi = jax.nn.sigmoid(th[:, 0])
+    mu = th[:, 1]
+    sigma = jnp.exp(th[:, 2])
+    rho = jnp.tanh(0.5 * th[:, 3])
+    return jnp.stack([phi, mu, sigma, rho], axis=-1)
+
+
+__all__ = ["svol_leverage_lw_pallas", "lw_cloud_params", "TILE", "N_PARAM"]
