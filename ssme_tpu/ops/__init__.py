@@ -6,6 +6,11 @@ from ssme_tpu.ops.svol_filter_kernel import (
     svol_filter_pallas,
     svol_pallas_batched_log_like,
     svol_pallas_replicated_log_like,
+    svol_swarm_evidence_pallas,
+)
+from ssme_tpu.ops.svol_leverage_lw_kernel import (
+    svol_leverage_lw_pallas,
+    lw_cloud_params,
 )
 
 __all__ = [
@@ -14,4 +19,7 @@ __all__ = [
     "svol_filter_pallas",
     "svol_pallas_batched_log_like",
     "svol_pallas_replicated_log_like",
+    "svol_swarm_evidence_pallas",
+    "svol_leverage_lw_pallas",
+    "lw_cloud_params",
 ]

@@ -64,7 +64,7 @@ def _make_kernel(num_particles: int, num_steps: int):
     n = num_particles
     t_last = num_steps - 1
 
-    def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref,
+    def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref, xmean_ref,
                x_scr, lw_scr):
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -130,7 +130,12 @@ def _make_kernel(num_particles: int, num_steps: int):
         s = jnp.sum(jnp.exp(lw - m), axis=-1, keepdims=True)
         lcl = m + jnp.log(s) - np.log(float(n))               # (8, 1)
 
-        # stage into the current (8, 128) output block; pallas keeps the
+        # filtered state mean E[x_t | y_{1:t}] (self-normalized)
+        wnorm = jnp.exp(lw - m)
+        xmean = (jnp.sum(x_scr[:] * wnorm, axis=-1, keepdims=True)
+                 / jnp.sum(wnorm, axis=-1, keepdims=True))       # (8, 1)
+
+        # stage into the current (8, 128) output blocks; pallas keeps a
         # block in VMEM while t // 128 is unchanged and flushes on change.
         # Mosaic cannot store a single dynamic lane column, so write the
         # whole block through a lane mask (zeroing it at col 0 covers the
@@ -139,6 +144,9 @@ def _make_kernel(num_particles: int, num_steps: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
         base = jnp.where(col == 0, jnp.zeros_like(out_ref), out_ref[:])
         out_ref[:] = jnp.where(lane == col, lcl, base)
+        base_x = jnp.where(col == 0, jnp.zeros_like(xmean_ref),
+                           xmean_ref[:])
+        xmean_ref[:] = jnp.where(lane == col, xmean, base_x)
 
     return kernel
 
@@ -149,8 +157,10 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
 
     seed: int32 scalar; params: (B, 3) constrained [beta, phi, sigma]
     (note: sigma, NOT sigma^2 — precompute sqrt); ys: (T,) or (T, 1).
-    Returns (total (B,), per_step (B, T)) log conditional likelihoods
-    (total = sum_t log p(y_t | y_{1:t-1})).
+    Returns (total (B,), per_step_lcl (B, T), filtered_x_mean (B, T)):
+    total = sum_t log p(y_t | y_{1:t-1}); filtered_x_mean is the
+    self-normalized E[x_t | y_{1:t}] per filter per step (the volatility
+    path).
     """
     ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
     t_len = ys.shape[0]
@@ -176,19 +186,28 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
                 pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TILE_B, 128),
-                                   lambda i, t, *_: (i, t // 128),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((TILE_B, 128),
+                             lambda i, t, *_: (i, t // 128),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_B, 128),
+                             lambda i, t, *_: (i, t // 128),
+                             memory_space=pltpu.VMEM),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((TILE_B, n), jnp.float32),    # particles
                 pltpu.VMEM((TILE_B, n), jnp.float32),    # log-weights
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+        ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, ys, params.astype(jnp.float32), lt)
+    lcls, xmeans = lcls
     lcls = lcls[:, :t_len]
-    return jnp.sum(lcls, axis=-1), lcls
+    return jnp.sum(lcls, axis=-1), lcls, xmeans[:, :t_len]
 
 
 def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
@@ -207,8 +226,8 @@ def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
         seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
         p = jnp.stack([params[0], params[1], jnp.sqrt(params[2])])
         batch = jnp.broadcast_to(p, (b, 3))
-        vals, _ = svol_filter_pallas(seed, batch, ys,
-                                     num_particles=num_particles)
+        vals, _, _ = svol_filter_pallas(seed, batch, ys,
+                                        num_particles=num_particles)
         vals = vals[:r]
         m = jnp.max(vals)
         return m + jnp.log(jnp.sum(jnp.exp(vals - m))) - jnp.log(float(r))
@@ -238,8 +257,8 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
         batch = jnp.repeat(p, r, axis=0)                      # (C*R, 3)
         batch = jnp.concatenate(
             [batch, jnp.ones((b - b_needed, 3), batch.dtype)], axis=0)
-        vals, _ = svol_filter_pallas(seed, batch, ys,
-                                     num_particles=num_particles)
+        vals, _, _ = svol_filter_pallas(seed, batch, ys,
+                                        num_particles=num_particles)
         vals = vals[:b_needed].reshape(c, r)
         m = jnp.max(vals, axis=-1, keepdims=True)
         return (m[:, 0] + jnp.log(jnp.sum(jnp.exp(vals - m), axis=-1))
@@ -268,15 +287,17 @@ def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512):
     batch = jnp.stack([p[:, 0], p[:, 1], jnp.sqrt(p[:, 2])], axis=-1)
     batch = jnp.concatenate(
         [batch, jnp.ones((b - m_models, 3), batch.dtype)], axis=0)
-    _, lcls = svol_filter_pallas(seed, batch, ys,
-                                 num_particles=num_particles)
+    _, lcls, xmeans = svol_filter_pallas(seed, batch, ys,
+                                         num_particles=num_particles)
     lcls = lcls[:m_models]                                   # (M, T)
+    xmeans = xmeans[:m_models]
     mx = jnp.max(lcls, axis=0, keepdims=True)
     log_cond_like = (mx[0] + jnp.log(jnp.mean(jnp.exp(lcls - mx), axis=0)))
     return {
         "log_cond_like": log_cond_like,
         "mean_log_cond_like": jnp.mean(lcls, axis=0),
         "per_model_log_cond_likes": lcls,
+        "volatility_path": jnp.mean(xmeans, axis=0),  # swarm E[x_t]
     }
 
 

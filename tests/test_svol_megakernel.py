@@ -30,10 +30,12 @@ def test_shape_validation():
 def test_interpret_runs_finite():
     params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
     ys = 0.3 * jnp.ones(16)
-    total, lcls = svol_filter_pallas(3, params, ys, num_particles=128,
-                                     interpret=True)
+    total, lcls, xmeans = svol_filter_pallas(3, params, ys,
+                                             num_particles=128,
+                                             interpret=True)
     assert total.shape == (8,)
     assert lcls.shape == (8, 16)
+    assert xmeans.shape == (8, 16)
     assert np.all(np.isfinite(np.asarray(total)))
     np.testing.assert_allclose(np.asarray(lcls.sum(-1)),
                                np.asarray(total), rtol=1e-5)
@@ -49,7 +51,7 @@ def test_megakernel_matches_xla_filter_statistically():
     p_ref = jnp.array([1.0, 0.5, 0.02])
     batch = jnp.broadcast_to(jnp.array([1.0, 0.5, float(np.sqrt(0.02))]),
                              (B, 3))
-    vals, _ = svol_filter_pallas(7, batch, ys, num_particles=512)
+    vals, _, _ = svol_filter_pallas(7, batch, ys, num_particles=512)
     ll = log_likelihood_fn(svol.make_model(), num_particles=512)
     ref = jax.vmap(lambda k: ll(k, p_ref, ys[:, None]))(
         jax.random.split(jax.random.key(2), B))
