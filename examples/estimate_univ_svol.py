@@ -42,7 +42,6 @@ def main(argv=None):
 
     from ssme_tpu.inference import AdaptivePMMH
     from ssme_tpu.io import MessageWriter, SampleWriter, read_data
-    from ssme_tpu.io.checkpoint import save_checkpoint
     from ssme_tpu.models import svol
 
     ys = jnp.asarray(read_data(args.datafile, num_cols=1))
@@ -53,30 +52,28 @@ def main(argv=None):
                         num_replicates=args.n_pfilters, t0=150, t1=1000)
     start = jnp.asarray(svol.START_TRANS_THETA)
 
-    res = jax.jit(
-        lambda k: pmmh.run(k, start, args.n_mcmc, ys,
-                           num_chains=args.chains)
-    )(jax.random.key(args.seed))
-    jax.block_until_ready(res.samples)
-
     ts = not args.no_timestamp
+    sample_writers = []
+    message_writers = []
     for chain in range(args.chains):
         suffix = f"_chain{chain}" if args.chains > 1 else ""
-        with SampleWriter(args.samples_base + suffix,
-                          print_every_k=args.print_every_k,
-                          timestamp=ts) as sw:
-            sw.record_result(res, chain=chain)
-        with MessageWriter(args.messages_base + suffix,
-                           print_every_k=args.print_every_k,
-                           print_to_console=args.print_to_console,
-                           timestamp=ts) as mw:
-            mw.record_result(res, chain=chain)
+        sample_writers.append(SampleWriter(
+            args.samples_base + suffix, print_every_k=args.print_every_k,
+            timestamp=ts))
+        message_writers.append(MessageWriter(
+            args.messages_base + suffix, print_every_k=args.print_every_k,
+            print_to_console=args.print_to_console, timestamp=ts))
+    try:
+        samples, state = pmmh.sample(
+            jax.random.key(args.seed), start, args.n_mcmc, ys,
+            num_chains=args.chains,
+            sample_writer=sample_writers, message_writer=message_writers,
+            checkpoint_path=args.checkpoint)
+    finally:
+        for w in sample_writers + message_writers:
+            w.close()
 
-    if args.checkpoint:
-        save_checkpoint(args.checkpoint, res.final_state,
-                        {"completed_iters": args.n_mcmc})
-
-    ar = float(res.accept_rate[-1].mean())
+    ar = float(state.accept_ma.mean())
     print(f"done: {args.n_mcmc} iters x {args.chains} chains, "
           f"final accept rate {ar:.3f}", file=sys.stderr)
 

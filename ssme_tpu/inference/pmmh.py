@@ -284,5 +284,67 @@ class AdaptivePMMH:
                           num_chains=num_chains)
         return self.run_from(state, num_iters, ys, zs=zs)
 
+    # ------------------------------------------------------------------
+    def sample(self, key, start_trans_theta, num_iters, ys, zs=None,
+               c0=None, num_chains=1, chunk_size=250,
+               sample_writer=None, message_writer=None,
+               checkpoint_path=None, checkpoint_every_chunks=2):
+        """Host-driven chunked sampling with streaming output.
+
+        The production loop: iterations run on-device in ``chunk_size``
+        blocks (one compiled program reused across chunks); between
+        chunks, samples/messages stream to the writers (the reference's
+        online CSV behavior, ``ada_pmmh_mvn.h:272-322``) and the chain
+        state checkpoints atomically so a killed run resumes exactly
+        (``run_from`` composition is bit-exact — see tests).
+
+        Returns (samples (num_iters, C, d) np.ndarray, final PMMHState).
+        """
+        import numpy as np
+
+        from ssme_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        state = self.init(key, start_trans_theta, ys, zs=zs, c0=c0,
+                          num_chains=num_chains)
+        done = 0
+        if checkpoint_path is not None:
+            import os
+            if os.path.exists(checkpoint_path):
+                state, meta = load_checkpoint(checkpoint_path, state)
+                done = int(meta.get("completed_iters", 0))
+
+        run = jax.jit(lambda st: self.run_from(st, chunk_size, ys, zs=zs))
+        all_samples = []
+        chunk_idx = 0
+        while done < num_iters:
+            if num_iters - done < chunk_size:
+                # final ragged chunk compiles once more at its own size
+                res = self.run_from(state, num_iters - done, ys, zs=zs)
+            else:
+                res = run(state)
+            state = res.final_state
+            chunk = np.asarray(res.samples)
+            all_samples.append(chunk)
+            # writers: a single writer records chain 0; a list records
+            # one chain per writer
+            for writers, kind in ((sample_writer, "sample"),
+                                  (message_writer, "message")):
+                if writers is None:
+                    continue
+                if not isinstance(writers, (list, tuple)):
+                    writers = [writers]
+                for chain, w in enumerate(writers):
+                    w.record_result(res, chain=chain, start_iter=done)
+            done += chunk.shape[0]
+            chunk_idx += 1
+            if (checkpoint_path is not None
+                    and chunk_idx % checkpoint_every_chunks == 0):
+                save_checkpoint(checkpoint_path, state,
+                                {"completed_iters": done})
+        if checkpoint_path is not None:
+            save_checkpoint(checkpoint_path, state,
+                            {"completed_iters": done})
+        return np.concatenate(all_samples), state
+
 
 __all__ = ["AdaptivePMMH", "PMMHResult", "PMMHState"]

@@ -118,3 +118,34 @@ def test_svol_reference_config_short():
     assert np.all((phi > 0) & (phi < 1) | np.isclose(phi, phi))  # finite
     assert np.all(ss > 0)
     assert np.all(np.isfinite(np.asarray(res.log_likes)))
+
+
+def test_sample_streaming_and_resume(tmp_path, lg_setup):
+    # chunked host loop == one-shot run, with streaming CSV + checkpoint
+    from ssme_tpu.io import SampleWriter, MessageWriter
+
+    model, pmmh, start, ys = lg_setup
+    sw = SampleWriter(str(tmp_path / "s"), timestamp=False)
+    mw = MessageWriter(str(tmp_path / "m"), timestamp=False)
+    ckpt = str(tmp_path / "c.npz")
+    samples, state = pmmh.sample(
+        jax.random.key(9), start, 12, ys, chunk_size=5,
+        sample_writer=sw, message_writer=mw, checkpoint_path=ckpt)
+    sw.close(); mw.close()
+    assert samples.shape == (12, 1, 3)
+    rows = open(str(tmp_path / "s")).read().strip().split("\n")
+    assert len(rows) == 12
+    lines = open(str(tmp_path / "m")).read().strip().split("\n")
+    assert lines[0].startswith("iter number")
+    assert len(lines) == 13  # header + 12
+
+    # reference comparison: identical to one-shot run with same key
+    st0 = pmmh.init(jax.random.key(9), start, ys, num_chains=1)
+    ref = pmmh.run_from(st0, 12, ys)
+    np.testing.assert_allclose(samples, np.asarray(ref.samples), rtol=1e-6)
+
+    # resume: checkpoint records 12 completed; extending to 15 runs only 3
+    samples2, _ = pmmh.sample(
+        jax.random.key(9), start, 15, ys, chunk_size=5,
+        checkpoint_path=ckpt)
+    assert samples2.shape == (3, 1, 3)
