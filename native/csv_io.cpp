@@ -124,6 +124,10 @@ struct SsmeWriter {
   std::condition_variable cv;
   std::deque<std::string> queue;
   std::atomic<bool> done{false};
+  // flush correctness: a chunk is popped before fwrite, so an empty
+  // queue does NOT mean all data reached the FILE*; track bytes.
+  std::atomic<long> enqueued{0};
+  std::atomic<long> written{0};
 
   void run() {
     for (;;) {
@@ -139,6 +143,7 @@ struct SsmeWriter {
         queue.pop_front();
       }
       std::fwrite(chunk.data(), 1, chunk.size(), f);
+      written.fetch_add(static_cast<long>(chunk.size()));
     }
     std::fflush(f);
   }
@@ -158,17 +163,15 @@ void ssme_writer_write(void* handle, const char* data, long len) {
   {
     std::lock_guard<std::mutex> lock(w->mu);
     w->queue.emplace_back(data, static_cast<size_t>(len));
+    w->enqueued.fetch_add(len);
   }
   w->cv.notify_one();
 }
 
 void ssme_writer_flush(void* handle) {
   auto* w = static_cast<SsmeWriter*>(handle);
-  for (;;) {
-    {
-      std::lock_guard<std::mutex> lock(w->mu);
-      if (w->queue.empty()) break;
-    }
+  const long target = w->enqueued.load();
+  while (w->written.load() < target) {
     std::this_thread::yield();
   }
   std::fflush(w->f);

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ssme_tpu import resampling, rv
-from ssme_tpu.filters.bootstrap import FilterResult
+from ssme_tpu.filters.bootstrap import FilterResult, apply_functionals
 from ssme_tpu.models.base import StateSpaceModel
 from ssme_tpu.utils import ess, logsumexp, weighted_expectation
 
@@ -43,14 +43,8 @@ class AuxiliaryParticleFilter:
                            "sample_f", "prop_mu")
 
     def _apply_functionals(self, particles, z, params, log_w):
-        outs = []
-        for h in self.functionals:
-            if self.model.has_covariates:
-                vals = jax.vmap(lambda x: h(x, z, params))(particles)
-            else:
-                vals = jax.vmap(lambda x: h(x, params))(particles)
-            outs.append(weighted_expectation(vals, log_w))
-        return tuple(outs)
+        return apply_functionals(self.model, self.functionals, particles,
+                                 z, params, log_w)
 
     def init(self, key, params, y1, z1=None):
         m = self.model

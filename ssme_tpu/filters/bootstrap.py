@@ -36,6 +36,20 @@ from ssme_tpu.models.base import StateSpaceModel
 from ssme_tpu.utils import ess, logsumexp, weighted_expectation
 
 
+def apply_functionals(model, functionals, particles, z, params, log_w):
+    """Per-step weighted expectations of user functionals — the analog of
+    the reference's ``fs`` callback vectors (shared by the bootstrap and
+    auxiliary filters)."""
+    outs = []
+    for h in functionals:
+        if model.has_covariates:
+            vals = jax.vmap(lambda x: h(x, z, params))(particles)
+        else:
+            vals = jax.vmap(lambda x: h(x, params))(particles)
+        outs.append(weighted_expectation(vals, log_w))
+    return tuple(outs)
+
+
 class FilterResult(NamedTuple):
     """Full-sequence outputs of one filtering pass."""
 
@@ -76,14 +90,8 @@ class BootstrapFilter:
 
     # ------------------------------------------------------------------
     def _apply_functionals(self, particles, z, params, log_w):
-        outs = []
-        for h in self.functionals:
-            if self.model.has_covariates:
-                vals = jax.vmap(lambda x: h(x, z, params))(particles)
-            else:
-                vals = jax.vmap(lambda x: h(x, params))(particles)
-            outs.append(weighted_expectation(vals, log_w))
-        return tuple(outs)
+        return apply_functionals(self.model, self.functionals, particles,
+                                 z, params, log_w)
 
     # ------------------------------------------------------------------
     def init(self, key, params, y1, z1=None):
@@ -213,8 +221,13 @@ class BootstrapFilter:
             if last_obs is None:
                 raise ValueError("feedback covariates require last_obs")
             z0 = jnp.broadcast_to(jnp.asarray(last_obs), (n, m.dim_cov))
+        elif m.has_covariates:
+            raise ValueError(
+                f"model {m.name!r} has covariates: future simulation "
+                "requires feedback_obs_as_cov=True (the lagged-observation "
+                "convention) — there are no future covariate values")
         else:
-            z0 = jnp.zeros((n, 1))  # ignored
+            z0 = jnp.zeros((n, 1))  # ignored (no-covariate models)
 
         def step(carry, k):
             xs, zcur = carry

@@ -298,7 +298,9 @@ class AdaptivePMMH:
         state checkpoints atomically so a killed run resumes exactly
         (``run_from`` composition is bit-exact — see tests).
 
-        Returns (samples (num_iters, C, d) np.ndarray, final PMMHState).
+        Returns (samples, final PMMHState) where ``samples`` holds the
+        iterations executed by THIS call — ``(num_iters - resumed, C, d)``
+        when resuming from a checkpoint (possibly empty).
         """
         import numpy as np
 
@@ -344,6 +346,9 @@ class AdaptivePMMH:
         if checkpoint_path is not None:
             save_checkpoint(checkpoint_path, state,
                             {"completed_iters": done})
+        if not all_samples:
+            d = self.model.dim_param
+            return np.zeros((0, num_chains, d), np.float32), state
         return np.concatenate(all_samples), state
 
 

@@ -120,19 +120,27 @@ class SwarmFilter:
 
         def per_model(k, params, particles, log_w):
             k_init, k_step = jax.random.split(k)
-            p0, w0, lcl0 = bf.init(k_init, params, y, z)
-            # reference resamples time 0 when rs==1; keep parity with
-            # BootstrapFilter.run
-            from ssme_tpu import resampling
-            (p0,), w0 = resampling.maybe_resample(
-                jax.random.fold_in(k_init, 1), w0, (p0,),
-                jnp.asarray(self.resample_every == 1), kind=self.resampler)
-            p1, w1, lcl1 = bf.step(k_step, params, particles, log_w,
-                                   state.t, y, z)
-            is_first = state.t == 0
-            particles = jnp.where(is_first, p0, p1)
-            log_w = jnp.where(is_first, w0, w1)
-            lcl = jnp.where(is_first, lcl0, lcl1)
+
+            def do_init(_):
+                from ssme_tpu import resampling
+                p0, w0, lcl0 = bf.init(k_init, params, y, z)
+                # reference resamples time 0 when rs==1; keep parity with
+                # BootstrapFilter.run
+                (p0,), w0 = resampling.maybe_resample(
+                    jax.random.fold_in(k_init, 1), w0, (p0,),
+                    jnp.asarray(self.resample_every == 1),
+                    kind=self.resampler)
+                return p0, w0, lcl0
+
+            def do_step(_):
+                return bf.step(k_step, params, particles, log_w,
+                               state.t, y, z)
+
+            # lax.cond with a scalar predicate runs only the live branch
+            # (a where-select here would double every model's filtering
+            # work at every step)
+            particles, log_w, lcl = jax.lax.cond(
+                state.t == 0, do_init, do_step, None)
             exps = bf._apply_functionals(particles, z, params, log_w)
             return particles, log_w, lcl, exps
 

@@ -115,4 +115,13 @@ class StateSpaceModel:
                 f"algorithm: {missing}")
 
 
-__all__ = ["StateSpaceModel"]
+def bcol(v):
+    """Broadcast helper for batched samplers: () stays scalar; (n,)
+    becomes (n, 1) so per-particle parameters broadcast against
+    (n, dim_state) clouds."""
+    import jax.numpy as jnp
+    v = jnp.asarray(v)
+    return v[..., None] if v.ndim else v
+
+
+__all__ = ["StateSpaceModel", "bcol"]

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ssme_tpu import rv
-from ssme_tpu.models.base import StateSpaceModel
+from ssme_tpu.models.base import StateSpaceModel, bcol
 from ssme_tpu.transforms import ParamTransform
 
 TRANSFORMS = ("twice_fisher", "log", "log")
@@ -91,19 +91,14 @@ def sample_prior(key):
 
 # --- batched fast-path samplers; params may be (3,) or (n, 3) -----------
 
-def _bcol(v):
-    v = jnp.asarray(v)
-    return v[..., None] if v.ndim else v
-
-
 def sample_q1_batch(key, params, y1, n):
-    sd = _bcol(params[..., 1] / jnp.sqrt(1.0 - params[..., 0] ** 2))
+    sd = bcol(params[..., 1] / jnp.sqrt(1.0 - params[..., 0] ** 2))
     return jax.random.normal(key, (n, 1)) * sd
 
 
 def sample_f_batch(key, params, xs, z):
-    a = _bcol(params[..., 0])
-    q = _bcol(params[..., 1])
+    a = bcol(params[..., 0])
+    q = bcol(params[..., 1])
     return a * xs + jax.random.normal(key, xs.shape) * q
 
 
@@ -112,7 +107,7 @@ def sample_q_batch(key, params, xs, y, z):
 
 
 def sample_g_batch(key, params, xs):
-    r = _bcol(params[..., 2])
+    r = bcol(params[..., 2])
     return C_OBS * xs + jax.random.normal(key, xs.shape[:-1] + (1,)) * r
 
 

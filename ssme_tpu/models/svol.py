@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ssme_tpu import rv
-from ssme_tpu.models.base import StateSpaceModel
+from ssme_tpu.models.base import StateSpaceModel, bcol
 from ssme_tpu.transforms import ParamTransform
 
 TRANSFORMS = ("null", "twice_fisher", "log")
@@ -108,26 +108,20 @@ def sample_prior(key):
 # --- batched fast-path samplers (one PRNG call per particle cloud) ------
 # ``params`` may be (3,) or carry a leading particle axis (n, 3).
 
-def _bcol(v):
-    """() -> scalar usable against (n, 1); (n,) -> (n, 1)."""
-    v = jnp.asarray(v)
-    return v[..., None] if v.ndim else v
-
-
 def sample_q1_batch(key, params, y1, n):
-    sd = _bcol(jnp.sqrt(params[..., 2]) /
+    sd = bcol(jnp.sqrt(params[..., 2]) /
                jnp.sqrt(1.0 - params[..., 1] * params[..., 1]))
     return jax.random.normal(key, (n, 1)) * sd
 
 
 def sample_f_batch(key, params, xs, z):
-    phi = _bcol(params[..., 1])
-    sigma = _bcol(jnp.sqrt(params[..., 2]))
+    phi = bcol(params[..., 1])
+    sigma = bcol(jnp.sqrt(params[..., 2]))
     return phi * xs + jax.random.normal(key, xs.shape) * sigma
 
 
 def sample_g_batch(key, params, xs):
-    beta = _bcol(params[..., 0])
+    beta = bcol(params[..., 0])
     return jax.random.normal(key, xs.shape[:-1] + (1,)) * beta * jnp.exp(0.5 * xs)
 
 

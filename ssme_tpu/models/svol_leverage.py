@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ssme_tpu import rv
-from ssme_tpu.models.base import StateSpaceModel
+from ssme_tpu.models.base import StateSpaceModel, bcol
 from ssme_tpu.transforms import ParamTransform
 
 TRANSFORMS = ("logit", "null", "log", "twice_fisher")
@@ -125,28 +125,23 @@ def make_uniform_prior(bounds=DEFAULT_PRIOR_BOUNDS):
 
 # --- batched fast-path samplers; params may be (4,) or (n, 4) -----------
 
-def _bcol(v):
-    v = jnp.asarray(v)
-    return v[..., None] if v.ndim else v
-
-
 def _trans_mean_batch(params, xs, z):
-    phi = _bcol(params[..., 0])
-    mu = _bcol(params[..., 1])
-    sigma = _bcol(params[..., 2])
-    rho = _bcol(params[..., 3])
+    phi = bcol(params[..., 0])
+    mu = bcol(params[..., 1])
+    sigma = bcol(params[..., 2])
+    rho = bcol(params[..., 3])
     zval = jnp.zeros(()) if z is None else z[0]
     return mu + phi * (xs - mu) + zval * rho * sigma * jnp.exp(-0.5 * xs)
 
 
 def _trans_sd_batch(params):
-    sigma = _bcol(params[..., 2])
-    rho = _bcol(params[..., 3])
+    sigma = bcol(params[..., 2])
+    rho = bcol(params[..., 3])
     return sigma * jnp.sqrt(1.0 - rho * rho)
 
 
 def sample_q1_batch(key, params, y1, n):
-    sd = _bcol(params[..., 2] / jnp.sqrt(1.0 - params[..., 0] ** 2))
+    sd = bcol(params[..., 2] / jnp.sqrt(1.0 - params[..., 0] ** 2))
     return jax.random.normal(key, (n, 1)) * sd
 
 

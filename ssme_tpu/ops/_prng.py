@@ -1,0 +1,35 @@
+"""Shared in-kernel PRNG helpers for the Pallas TPU kernels.
+
+Standard normals / uniforms from the hardware PRNG
+(``pltpu.prng_random_bits`` returns signed int32; the +2^31 shift maps to
+[0, 2^32)).  Call ``pltpu.prng_seed`` before use; seeds take at most two
+scalars, so grid indices must be mixed arithmetically.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+TWO_PI = 6.283185307179586
+HALF_LOG_2PI = 0.9189385332046727
+_INV_2_32 = 1.0 / 4294967296.0
+
+
+def uniform_bits(shape):
+    """U[0, 1) of the given shape."""
+    bits = pltpu.prng_random_bits(shape)
+    return (bits.astype(jnp.float32) + 2147483648.0) * _INV_2_32
+
+
+def normal_bits(shape):
+    """Standard normals via Box-Muller (u1 in (0, 1] so log is finite)."""
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * _INV_2_32
+    u2 = (bits2.astype(jnp.float32) + 2147483648.0) * _INV_2_32
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(TWO_PI * u2)
+
+
+__all__ = ["uniform_bits", "normal_bits", "TWO_PI", "HALF_LOG_2PI"]

@@ -38,26 +38,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TWO_PI = 6.283185307179586
-_HALF_LOG_2PI = 0.9189385332046727
+from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
+                                normal_bits as _normal_bits,
+                                uniform_bits as _uniform_bits)
+from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
-
-
-def _normal_bits(shape):
-    """Standard normals from the hardware PRNG via Box-Muller."""
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    inv = 1.0 / 4294967296.0
-    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * inv  # (0, 1]
-    u2 = (bits2.astype(jnp.float32) + 2147483648.0) * inv        # [0, 1)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
-
-
-def _uniform_bits(shape):
-    bits = pltpu.prng_random_bits(shape)
-    return (bits.astype(jnp.float32) + 2147483648.0) * (1.0 / 4294967296.0)
 
 
 def _make_kernel(num_particles: int, num_steps: int):
@@ -88,7 +74,13 @@ def _make_kernel(num_particles: int, num_steps: int):
                 w, lt_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             total = cdf[:, n - 1:n]                           # (8, 1)
-            cdf_ex = cdf - w                                  # exclusive
+            # exclusive CDF must be the SAME rounded values shifted by
+            # one lane (cdf - w re-rounds and can leave ~1-ulp gaps or
+            # overlaps at interval boundaries, selecting 0 or 2
+            # ancestors); a roll makes the intervals an exact partition
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n), 1)
+            cdf_ex = jnp.where(lane0 == 0, 0.0,
+                               pltpu.roll(cdf, shift=1, axis=1))
             u0 = _uniform_bits((TILE_B, 1))                   # (8, 1)
 
             xt = jnp.transpose(x_scr[:])                      # (n, 8)
@@ -228,9 +220,7 @@ def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
         batch = jnp.broadcast_to(p, (b, 3))
         vals, _, _ = svol_filter_pallas(seed, batch, ys,
                                         num_particles=num_particles)
-        vals = vals[:r]
-        m = jnp.max(vals)
-        return m + jnp.log(jnp.sum(jnp.exp(vals - m))) - jnp.log(float(r))
+        return logmeanexp(vals[:r])
 
     return ll
 
@@ -259,10 +249,7 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
             [batch, jnp.ones((b - b_needed, 3), batch.dtype)], axis=0)
         vals, _, _ = svol_filter_pallas(seed, batch, ys,
                                         num_particles=num_particles)
-        vals = vals[:b_needed].reshape(c, r)
-        m = jnp.max(vals, axis=-1, keepdims=True)
-        return (m[:, 0] + jnp.log(jnp.sum(jnp.exp(vals - m), axis=-1))
-                - jnp.log(float(r)))
+        return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll
 
@@ -291,8 +278,7 @@ def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512):
                                          num_particles=num_particles)
     lcls = lcls[:m_models]                                   # (M, T)
     xmeans = xmeans[:m_models]
-    mx = jnp.max(lcls, axis=0, keepdims=True)
-    log_cond_like = (mx[0] + jnp.log(jnp.mean(jnp.exp(lcls - mx), axis=0)))
+    log_cond_like = logmeanexp(lcls, axis=0)
     return {
         "log_cond_like": log_cond_like,
         "mean_log_cond_like": jnp.mean(lcls, axis=0),

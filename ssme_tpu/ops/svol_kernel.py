@@ -33,14 +33,13 @@ import numpy as np
 try:  # pallas may be unavailable on some backends
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from ssme_tpu.ops._prng import HALF_LOG_2PI, normal_bits
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     pl = None
     pltpu = None
     _PALLAS_OK = False
-
-_TWO_PI = 6.283185307179586
-_HALF_LOG_2PI = 0.9189385332046727
 
 TILE_B = 8
 TILE_N = 128
@@ -63,15 +62,7 @@ def _kernel(seed_ref, y_ref, params_ref, x_ref, lw_ref, out_x_ref,
     # prng_seed accepts at most 2 values; mix the tile indices
     pltpu.prng_seed(seed_ref[0] + i * 1000003, j)
 
-    shape = x_ref.shape  # (TILE_B, TILE_N)
-    # Box-Muller from two uint32 draws; u in (0,1]
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    inv = 1.0 / 4294967296.0  # 2^-32
-    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * inv  # (0,1]
-    u2 = (bits2.astype(jnp.float32) + 2147483648.0) * inv        # [0,1)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    eps = r * jnp.cos(_TWO_PI * u2)
+    eps = normal_bits(x_ref.shape)
 
     beta = params_ref[:, 0:1]   # (TILE_B, 1) broadcasts over lanes
     phi = params_ref[:, 1:2]
@@ -81,7 +72,7 @@ def _kernel(seed_ref, y_ref, params_ref, x_ref, lw_ref, out_x_ref,
     sd = beta * jnp.exp(0.5 * x_new)
     y = y_ref[0]
     z = y / sd
-    log_g = -_HALF_LOG_2PI - jnp.log(sd) - 0.5 * z * z
+    log_g = -HALF_LOG_2PI - jnp.log(sd) - 0.5 * z * z
 
     out_x_ref[:] = x_new
     out_lw_ref[:] = lw_ref[:] + log_g

@@ -44,26 +44,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TWO_PI = 6.283185307179586
-_HALF_LOG_2PI = 0.9189385332046727
+from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
+                                normal_bits as _normal_bits,
+                                uniform_bits as _uniform_bits)
 
 TILE = 8
 N_PARAM = 4  # phi, mu, sigma, rho
-
-
-def _normal_bits(shape):
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    inv = 1.0 / 4294967296.0
-    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * inv
-    u2 = (bits2.astype(jnp.float32) + 2147483648.0) * inv
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
-
-
-def _uniform_bits(shape):
-    bits = pltpu.prng_random_bits(shape)
-    return (bits.astype(jnp.float32) + 2147483648.0) * (1.0 / 4294967296.0)
 
 
 def _constrain_rows(theta):
@@ -119,7 +105,10 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                 preferred_element_type=jnp.float32)
             cdf = cdf8[0:1, :]
             total = cdf8[0, n - 1]
-            cdf_ex = cdf - weights_row
+            # exact-partition exclusive CDF (see svol_filter_kernel note)
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            cdf_ex = jnp.where(lane0 == 0, 0.0,
+                               pltpu.roll(cdf, shift=1, axis=1))
             jcol = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(
                 jnp.float32)
             u_col = (jcol + u0_scalar) * (total / n)

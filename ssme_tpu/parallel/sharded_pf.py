@@ -160,25 +160,23 @@ def make_sharded_ll_callable(model, num_particles, mesh,
                              axis_name: str = "particle",
                              resample_every: int = 1):
     """Wrap the sharded likelihood in its own ``shard_map`` so it can be
-    called from un-sharded code: ``f(key, params, ys[, zs]) -> scalar``.
+    called from un-sharded code: ``f(key, params, ys)`` or — for
+    covariate models — ``f(key, params, ys, zs)``; returns a scalar.
     """
     from jax.experimental.shard_map import shard_map
 
     inner = sharded_log_likelihood_fn(model, num_particles, axis_name,
                                       resample_every)
-    other_axes = tuple(a for a in mesh.axis_names if a != axis_name)
 
-    def replicated(key, params, ys):
-        val = inner(key, params, ys)
-        return val
-
-    f = shard_map(
-        replicated, mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=P(),
-        check_rep=False,
-    )
-    return f
+    if model.has_covariates:
+        return shard_map(
+            lambda key, params, ys, zs: inner(key, params, ys, zs),
+            mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(),
+            check_rep=False)
+    return shard_map(
+        lambda key, params, ys: inner(key, params, ys),
+        mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_rep=False)
 
 
 __all__ = [

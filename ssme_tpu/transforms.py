@@ -201,6 +201,7 @@ class ParamPack:
         # subset semantics of parameters.h:598-602 (inclusive end)
         if start is None:
             return self._trans
+        end = start if end is None else end
         return self._trans[..., start:end + 1]
 
     def get_untrans_params(self, start: int = None, end: int = None) -> jnp.ndarray:
@@ -208,6 +209,7 @@ class ParamPack:
         p = self.transform.constrain(self._trans)
         if start is None:
             return p
+        end = start if end is None else end
         return p[..., start:end + 1]
 
     def get_log_jacobian(self) -> jnp.ndarray:
