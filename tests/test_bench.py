@@ -1,0 +1,40 @@
+"""bench.py contract test: one valid JSON line on stdout (CPU, tiny)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_json_line():
+    env = dict(os.environ)
+    env.update({
+        "BENCH_PARTICLES": "64",
+        "BENCH_REPLICATES": "2",
+        "BENCH_CHAINS": "1",
+        "BENCH_ITERS": "2",
+        "BENCH_IMPL": "xla",
+        # force CPU before the axon sitecustomize pins the tunnel: bench
+        # itself runs on whatever platform is live
+        "JAX_PLATFORMS": "cpu",
+    })
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # sitecustomize clobbers JAX_PLATFORMS; strip .axon_site so the env
+    # var holds (the driver's TPU run keeps it, which is what we want)
+    env["PYTHONPATH"] = repo
+    env.pop("JAX_PLATFORMS")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy; runpy.run_path(r'%s', run_name='__main__')"
+        % os.path.join(repo, "bench.py"))
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [l for l in out.stdout.strip().split("\n")
+                  if l.startswith("{")]
+    assert len(json_lines) == 1, out.stdout
+    payload = json.loads(json_lines[0])
+    assert payload["metric"] == "pmmh_particle_propagations_per_sec_per_chip"
+    assert payload["value"] > 0
+    assert payload["unit"] == "propagations/s/chip"
+    assert payload["vs_baseline"] == payload["value"] / 1e8
