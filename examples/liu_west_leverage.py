@@ -19,7 +19,11 @@ Two engines:
 """
 
 import argparse
+import os
 import sys
+
+# allow running by path without installation: put the repo root first
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
