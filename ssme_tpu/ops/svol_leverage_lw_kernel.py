@@ -74,7 +74,7 @@ def _lse_row(row):
 
 
 def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
-                  resample_every=1):
+                  resample_every=1, variant="apf"):
     n = num_particles
     t_last = num_steps - 1
     a = shrink_a
@@ -163,7 +163,7 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             th = s_scr[2:6, :]
             z = ys_ref[t - 1]
 
-            theta_bar = jnp.mean(th, axis=-1, keepdims=True)
+            theta_bar = jnp.mean(th, axis=-1, keepdims=True)  # lw:569-583
             pad21 = jnp.zeros((2, 1), jnp.float32)
             centered = s_scr[:] - jnp.concatenate(
                 [pad21, theta_bar, pad21], axis=0)
@@ -174,21 +174,30 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             gram_scr[:, 0:8] = gram
 
             shrunk = a * th + (1.0 - a) * theta_bar
-            phi_o, mu_o, sig_o, rho_o = _constrain_rows(th)
 
-            look = (mu_o + phi_o * (x - mu_o)
-                    + z * rho_o * sig_o * jnp.exp(-0.5 * x))
-            log_fsw = lw + _log_g(y, look)
-
-            mfs = jnp.max(log_fsw, axis=-1, keepdims=True)
-            w_fs = jnp.exp(log_fsw - mfs)
-            u0 = _uniform_bits((1, 1))[0, 0]
-            gather_src = jnp.concatenate(
-                [x, look, shrunk, jnp.zeros((2, n), jnp.float32)], axis=0)
-            anc = select_matmul(w_fs, u0, gather_src)
-            x_anc = anc[0:1, :]
-            look_anc = anc[1:2, :]
-            shrunk_anc = anc[2:6, :]
+            if variant == "apf":
+                # first-stage lookahead + ancestor selection (lw:379-404)
+                phi_o, mu_o, sig_o, rho_o = _constrain_rows(th)
+                look = (mu_o + phi_o * (x - mu_o)
+                        + z * rho_o * sig_o * jnp.exp(-0.5 * x))
+                log_fsw = lw + _log_g(y, look)
+                mfs = jnp.max(log_fsw, axis=-1, keepdims=True)
+                w_fs = jnp.exp(log_fsw - mfs)
+                u0 = _uniform_bits((1, 1))[0, 0]
+                gather_src = jnp.concatenate(
+                    [x, look, shrunk, jnp.zeros((2, n), jnp.float32)],
+                    axis=0)
+                anc = select_matmul(w_fs, u0, gather_src)
+                x_anc = anc[0:1, :]
+                look_anc = anc[1:2, :]
+                shrunk_anc = anc[2:6, :]
+            else:
+                # SISR form (LWFilter2, lw:1608-1649): no lookahead —
+                # every particle keeps its own shrunk mean and state
+                x_anc = x
+                look_anc = None
+                shrunk_anc = shrunk
+                log_fsw = None
 
             def g(i, j):
                 return h2 * gram_scr[2 + i, 2 + j]
@@ -222,10 +231,18 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             sd = sig_n * jnp.sqrt(1.0 - rho_n * rho_n)
             x_new = mean + sd * _normal_bits((1, n))
 
-            lw_new = _log_g(y, x_new) - _log_g(y, look_anc)
-
-            lcl_val = (_lse_row(lw_new)[0, 0] + _lse_row(log_fsw)[0, 0]
-                       - 2.0 * _lse_row(lw)[0, 0])
+            if variant == "apf":
+                # obs-density ratio + 3-term LSE identity (lw:433,449-452)
+                lw_new = _log_g(y, x_new) - _log_g(y, look_anc)
+                lcl_val = (_lse_row(lw_new)[0, 0]
+                           + _lse_row(log_fsw)[0, 0]
+                           - 2.0 * _lse_row(lw)[0, 0])
+            else:
+                # q == f for this model, so logF - logQ cancels and the
+                # increment is logG alone (lw:1634-1636); cond-like is
+                # the ratio of LSEs (lw:1651-1659)
+                lw_new = lw + _log_g(y, x_new)
+                lcl_val = (_lse_row(lw_new)[0, 0] - _lse_row(lw)[0, 0])
             stage_lcl(lcl_val)
 
             tile = jnp.concatenate(
@@ -243,15 +260,21 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_filters", "num_particles", "delta", "resample_every", "interpret"))
+    "num_filters", "num_particles", "delta", "resample_every", "variant",
+    "interpret"))
 def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
                             delta=0.99, prior_bounds=None,
-                            resample_every=1, interpret=False):
+                            resample_every=1, variant="apf",
+                            interpret=False):
     """Full-sequence Liu-West (APF) filtering of the leverage model.
 
     seed: int32; ys: (T,) or (T, 1) observations (z_t = y_{t-1} feeds back
     automatically; z_0 = 0 is approximated by y_{-1} := y_0's predecessor
     being absent — the t=0 step does not use a covariate).
+
+    ``variant``: "apf" (LWFilter, lookahead ancestors) or "sisr"
+    (LWFilter2; for this model the proposal equals the transition so the
+    weight increment reduces to logG).
 
     Returns dict with ``log_cond_likes`` (F, T), ``log_likelihood`` (F,),
     and ``cloud`` (F, 8, N): rows [x, logw, theta_trans x4, 0, 0] — the
@@ -275,8 +298,10 @@ def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
     t_pad = ((t_len + 127) // 128) * 128
 
+    if variant not in ("apf", "sisr"):
+        raise ValueError("variant must be 'apf' or 'sisr'")
     lcls, cloud = pl.pallas_call(
-        _build_kernel(n, t_len, shrink_a, lo, hi, resample_every),
+        _build_kernel(n, t_len, shrink_a, lo, hi, resample_every, variant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys
             grid=(num_filters, t_len),

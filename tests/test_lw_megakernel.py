@@ -53,3 +53,27 @@ def test_lw_kernel_matches_xla_statistically():
     assert np.all((phi > 0) & (phi < 1))
     assert np.all(sigma > 0)
     assert np.all((rho > -1) & (rho < 1))
+
+
+@pytest.mark.parametrize("variant", ["apf", "sisr"])
+def test_interpret_variants(variant):
+    ys = 0.05 * jax.random.normal(jax.random.key(2), (16,))
+    out = svol_leverage_lw_pallas(5, ys, num_filters=1, num_particles=128,
+                                  variant=variant, interpret=True)
+    assert np.isfinite(np.asarray(out["log_cond_likes"])).all()
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_lw_kernel_sisr_matches_xla():
+    from ssme_tpu.filters import LiuWestFilter
+    from ssme_tpu.models import svol_leverage
+
+    model = svol_leverage.make_model()
+    ys = 0.05 * jax.random.normal(jax.random.key(3), (200,))
+    out = svol_leverage_lw_pallas(11, ys, num_filters=8, num_particles=512,
+                                  variant="sisr")
+    vals = np.asarray(out["log_likelihood"])
+    lw = LiuWestFilter(model, num_particles=512, delta=0.99, variant="sisr")
+    zs = jnp.concatenate([jnp.zeros((1, 1)), ys[:-1, None]])
+    ref = float(lw.run(jax.random.key(4), ys[:, None], zs).log_likelihood)
+    assert abs(vals.mean() - ref) < 8.0, (vals.mean(), ref)
