@@ -1,0 +1,358 @@
+"""Generic Pallas TPU megakernel factory: a whole-sequence bootstrap
+particle filter in VMEM for ANY model expressed as in-kernel hooks.
+
+``ops/svol_filter_kernel.py`` proved the design on the flagship model
+(reference ``example/estimate_univ_svol.h:108-131`` semantics: run a
+bootstrap filter over all T observations, sum conditional
+log-likelihoods) — grid = (filter tiles, T), particle state persisting in
+VMEM scratch, hardware-PRNG propagation, gather-free systematic
+resampling on the MXU.  This module lifts that design into a *factory*:
+a model plugs in three traceable cloud-level hooks and gets the same
+megakernel performance, the way the reference lets any model subclass
+``BSFilter`` (``pf/bootstrap_filter.h`` hook set, SURVEY §2.3) and reuse
+the filter loop.
+
+A :class:`KernelModel` supplies, over ``(TILE_B, n)`` particle blocks:
+
+- ``init(rng, p, y, z, shape) -> state``  time-1 proposal (q1Samp);
+  ``shape`` is the ``(TILE_B, n)`` cloud shape to draw at
+- ``propagate(rng, p, state, y, z) -> state``   transition draw (fSamp)
+- ``log_weight(p, state, y, z) -> (TILE_B, n)`` obs log-density (logGEv)
+- optional ``functional(p, state) -> (TILE_B, n)``  per-particle h(x)
+  whose filtered (self-normalized) mean is emitted per step
+  (``getExpectations``, ``pf/bootstrap_filter.h`` / ``pswarm_filter.h``)
+
+where ``p`` is the ``(TILE_B, num_params)`` constrained-parameter block
+(one row per filter), ``y``/``z`` are tuples of SMEM scalars for the
+current step, ``state`` is a tuple of ``num_state`` ``(TILE_B, n)``
+float32 arrays (multi-dimensional states = multiple leaves), and ``rng``
+draws from the TPU hardware PRNG (`rng.normal(shape)` /
+`rng.uniform(shape)`).
+
+Restrictions (same as the hand-written kernels): particles a multiple of
+128, filter batch a multiple of 8, systematic resampling every step,
+f32 state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssme_tpu.ops import _prng
+from ssme_tpu.utils import logmeanexp
+
+TILE_B = 8
+
+
+class _Rng:
+    """In-kernel PRNG namespace handed to model hooks."""
+
+    normal = staticmethod(_prng.normal_bits)
+    uniform = staticmethod(_prng.uniform_bits)
+    HALF_LOG_2PI = _prng.HALF_LOG_2PI
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True, eq=False)
+class KernelModel:
+    """A model as traceable in-kernel hooks (see module docstring)."""
+
+    num_params: int
+    init: Callable
+    propagate: Callable
+    log_weight: Callable
+    num_state: int = 1
+    dim_obs: int = 1
+    dim_cov: int = 0
+    functional: Callable = None   # default: first state leaf
+    name: str = "kernel_model"
+
+
+def _make_kernel(kmodel: KernelModel, num_particles: int):
+    n = num_particles
+    n_leaves = kmodel.num_state
+
+    def kernel(seed_ref, ys_ref, zs_ref, params_ref, lt_ref,
+               out_ref, fmean_ref, *scratch):
+        state_scr = scratch[:n_leaves]
+        lw_scr = scratch[n_leaves]
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0] + b * 1000003, t)
+
+        p = params_ref[:]                                    # (8, P)
+        y = tuple(ys_ref[t, j] for j in range(kmodel.dim_obs))
+        z = tuple(zs_ref[t, j] for j in range(kmodel.dim_cov))
+
+        # ---- resample previous cloud, then propagate (t > 0) ----------
+        @pl.when(t > 0)
+        def _():
+            lw = lw_scr[:]                                   # (8, n)
+            m = jnp.max(lw, axis=-1, keepdims=True)
+            w = jnp.exp(lw - m)
+            # inclusive prefix sum along lanes on the MXU (cdf = w @ LT);
+            # exclusive CDF = the SAME rounded values rolled one lane so
+            # the intervals partition exactly (see svol_filter_kernel.py)
+            cdf = jax.lax.dot_general(
+                w, lt_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            total = cdf[:, n - 1:n]                          # (8, 1)
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n), 1)
+            cdf_ex = jnp.where(lane0 == 0, 0.0,
+                               pltpu.roll(cdf, shift=1, axis=1))
+            u0 = _prng.uniform_bits((TILE_B, 1))             # (8, 1)
+
+            # joint gather-free selection over ALL state leaves: stack
+            # leaf columns side by side so one selection matmul per row
+            # resamples every leaf with the same ancestors (the joint
+            # (state, param) gather of liu_west_filter.h:90-145 semantics)
+            xt = jnp.concatenate(
+                [jnp.transpose(s[:]) for s in state_scr], axis=1)  # (n, 8L)
+            cols = [[] for _ in range(n_leaves)]
+            for row in range(TILE_B):
+                jcol = jax.lax.broadcasted_iota(
+                    jnp.int32, (n, 1), 0).astype(jnp.float32)
+                u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
+                cdf_row = cdf[row:row + 1, :]
+                cdfx_row = cdf_ex[row:row + 1, :]
+                sel = jnp.where(
+                    (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
+                picked = jax.lax.dot_general(
+                    sel, xt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (n, 8L)
+                for leaf in range(n_leaves):
+                    cols[leaf].append(
+                        picked[:, leaf * TILE_B + row:leaf * TILE_B + row + 1])
+            resampled = tuple(
+                jnp.transpose(jnp.concatenate(cols[leaf], axis=1))
+                for leaf in range(n_leaves))
+            new_state = kmodel.propagate(_Rng, p, resampled, y, z)
+            for leaf in range(n_leaves):
+                state_scr[leaf][:] = new_state[leaf]
+
+        # ---- init (t == 0) ---------------------------------------------
+        @pl.when(t == 0)
+        def _():
+            st0 = kmodel.init(_Rng, p, y, z, (TILE_B, n))
+            for leaf in range(n_leaves):
+                state_scr[leaf][:] = st0[leaf]
+
+        # ---- weight ------------------------------------------------------
+        cur_state = tuple(s[:] for s in state_scr)
+        lw = kmodel.log_weight(p, cur_state, y, z)
+        lw_scr[:] = lw
+
+        # ---- per-step conditional log-like (LSE(logw) - log N) ----------
+        m = jnp.max(lw, axis=-1, keepdims=True)
+        s = jnp.sum(jnp.exp(lw - m), axis=-1, keepdims=True)
+        lcl = m + jnp.log(s) - np.log(float(n))              # (8, 1)
+
+        fn = kmodel.functional or (lambda p_, st: st[0])
+        h = fn(p, cur_state)
+        wnorm = jnp.exp(lw - m)
+        fmean = (jnp.sum(h * wnorm, axis=-1, keepdims=True)
+                 / jnp.sum(wnorm, axis=-1, keepdims=True))   # (8, 1)
+
+        # stage into the revisited (8, 128) output block (flushed to HBM
+        # once per 128 steps); masked full-block write, zeroed at col 0
+        col = jax.lax.rem(t, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
+        base = jnp.where(col == 0, jnp.zeros_like(out_ref), out_ref[:])
+        out_ref[:] = jnp.where(lane == col, lcl, base)
+        base_f = jnp.where(col == 0, jnp.zeros_like(fmean_ref),
+                           fmean_ref[:])
+        fmean_ref[:] = jnp.where(lane == col, fmean, base_f)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("kmodel", "num_particles",
+                                             "interpret"))
+def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
+                      num_particles: int = 512, interpret: bool = False):
+    """Run B whole-sequence bootstrap filters in one ``pallas_call``.
+
+    seed: int32 scalar; params: (B, num_params) constrained rows;
+    ys: (T,) or (T, dim_obs); zs: (T, dim_cov) covariates (or None).
+    Returns ``(total (B,), per_step_lcl (B, T), functional_mean (B, T))``.
+    """
+    ys = jnp.asarray(ys, jnp.float32).reshape(-1, kmodel.dim_obs)
+    t_len = ys.shape[0]
+    if kmodel.dim_cov:
+        if zs is None:
+            raise ValueError(f"model {kmodel.name!r} needs covariates zs")
+        zs = jnp.asarray(zs, jnp.float32).reshape(t_len, kmodel.dim_cov)
+    else:
+        zs = jnp.zeros((t_len, 1), jnp.float32)
+    params = jnp.asarray(params, jnp.float32)
+    b = params.shape[0]
+    n = num_particles
+    if b % TILE_B:
+        raise ValueError(f"B={b} must be a multiple of {TILE_B}")
+    if n % 128:
+        raise ValueError(f"num_particles={n} must be a multiple of 128")
+    if params.shape[1] != kmodel.num_params:
+        raise ValueError(f"params rows must have {kmodel.num_params} cols")
+
+    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
+    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    t_pad = ((t_len + 127) // 128) * 128
+
+    outs = pl.pallas_call(
+        _make_kernel(kmodel, n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
+            grid=(b // TILE_B, t_len),
+            in_specs=[
+                pl.BlockSpec((TILE_B, kmodel.num_params),
+                             lambda i, t, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE_B, 128),
+                             lambda i, t, *_: (i, t // 128),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_B, 128),
+                             lambda i, t, *_: (i, t // 128),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=(
+                [pltpu.VMEM((TILE_B, n), jnp.float32)
+                 for _ in range(kmodel.num_state)]
+                + [pltpu.VMEM((TILE_B, n), jnp.float32)]),   # log-weights
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, ys, zs, params, lt)
+    lcls, fmeans = outs
+    lcls = lcls[:, :t_len]
+    return jnp.sum(lcls, axis=-1), lcls, fmeans[:, :t_len]
+
+
+def megakernel_log_like(kmodel: KernelModel, num_particles: int,
+                        num_replicates: int, constrain=None):
+    """PMMH ``batched_log_like`` hook for any kernel model: all chains x
+    replicates in one launch, per-chain log-mean-exp over replicates
+    (``thread_pool.h:259-273`` semantics).
+
+    ``constrain``: optional (C, P)->(C, P') map from the PMMH parameter
+    vector to kernel parameter rows (e.g. sigma^2 -> sigma).
+    Returns ``ll(key, params (C, P), ys[, zs]) -> (C,)``.
+    """
+    r = num_replicates
+
+    def ll(key, params, ys, zs=None):
+        c = params.shape[0]
+        p = constrain(params) if constrain is not None else params
+        b_needed = c * r
+        b = ((b_needed + TILE_B - 1) // TILE_B) * TILE_B
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        batch = jnp.repeat(p, r, axis=0)
+        pad = jnp.broadcast_to(p[:1], (b - b_needed, p.shape[1]))
+        batch = jnp.concatenate([batch, pad], axis=0)
+        vals, _, _ = filter_megakernel(kmodel, seed, batch, ys, zs,
+                                       num_particles=num_particles)
+        return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
+
+    return ll
+
+
+def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
+                              zs=None, num_particles: int = 512):
+    """Swarm conditional evidence for any kernel model: one filter per
+    parameter draw, per-step aggregation across models
+    (``pswarm_filter.h:86-160`` semantics; cf.
+    ``svol_filter_kernel.svol_swarm_evidence_pallas``)."""
+    p = jnp.asarray(param_draws, jnp.float32)
+    m_models = p.shape[0]
+    b = ((m_models + TILE_B - 1) // TILE_B) * TILE_B
+    pad = jnp.broadcast_to(p[:1], (b - m_models, p.shape[1]))
+    batch = jnp.concatenate([p, pad], axis=0)
+    _, lcls, fmeans = filter_megakernel(kmodel, seed, batch, ys, zs,
+                                        num_particles=num_particles)
+    lcls = lcls[:m_models]
+    return {
+        "log_cond_like": logmeanexp(lcls, axis=0),
+        "mean_log_cond_like": jnp.mean(lcls, axis=0),
+        "per_model_log_cond_likes": lcls,
+        "functional_path": jnp.mean(fmeans[:m_models], axis=0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Kernel models for the built-in model families
+# ---------------------------------------------------------------------------
+
+def svol_kernel_model() -> KernelModel:
+    """Univariate SVOL (reference ``example/univ_svol_bootstrap_filter.h``)
+    as a kernel model; parameter rows (beta, phi, sigma).  The hand-fused
+    ``svol_filter_kernel.svol_filter_pallas`` remains the flagship path;
+    this instance cross-validates the factory against it."""
+
+    def init(rng, p, y, z, shape):
+        phi, sigma = p[:, 1:2], p[:, 2:3]
+        sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+        return (rng.normal(shape) * sd0,)
+
+    def propagate(rng, p, state, y, z):
+        phi, sigma = p[:, 1:2], p[:, 2:3]
+        (x,) = state
+        return (phi * x + sigma * rng.normal(x.shape),)
+
+    def log_weight(p, state, y, z):
+        beta = p[:, 0:1]
+        (x,) = state
+        sd = beta * jnp.exp(0.5 * x)
+        zval = y[0] / sd
+        return -_prng.HALF_LOG_2PI - jnp.log(sd) - 0.5 * zval * zval
+
+    return KernelModel(num_params=3, init=init, propagate=propagate,
+                       log_weight=log_weight, name="svol")
+
+
+def svol_leverage_kernel_model() -> KernelModel:
+    """SVOL with leverage (reference ``test/test_pswarm.cpp:28-141``,
+    LW parameterization per ``models/svol_leverage.py``); parameter rows
+    (phi, mu, sigma, rho); covariate z = lagged observation."""
+
+    def init(rng, p, y, z, shape):
+        phi, sigma = p[:, 0:1], p[:, 2:3]
+        sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+        return (rng.normal(shape) * sd0,)
+
+    def propagate(rng, p, state, y, z):
+        phi, mu, sigma, rho = (p[:, 0:1], p[:, 1:2], p[:, 2:3], p[:, 3:4])
+        (x,) = state
+        mean = (mu + phi * (x - mu)
+                + z[0] * rho * sigma * jnp.exp(-0.5 * x))
+        sd = sigma * jnp.sqrt(1.0 - rho * rho)
+        return (mean + sd * rng.normal(x.shape),)
+
+    def log_weight(p, state, y, z):
+        (x,) = state
+        sd = jnp.exp(0.5 * x)
+        zval = y[0] / sd
+        return -_prng.HALF_LOG_2PI - jnp.log(sd) - 0.5 * zval * zval
+
+    return KernelModel(num_params=4, init=init, propagate=propagate,
+                       log_weight=log_weight, dim_cov=1,
+                       name="svol_leverage")
+
+
+__all__ = ["KernelModel", "filter_megakernel", "megakernel_log_like",
+           "megakernel_swarm_evidence", "svol_kernel_model",
+           "svol_leverage_kernel_model", "TILE_B"]

@@ -163,7 +163,7 @@ def make_sharded_ll_callable(model, num_particles, mesh,
     called from un-sharded code: ``f(key, params, ys)`` or — for
     covariate models — ``f(key, params, ys, zs)``; returns a scalar.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     inner = sharded_log_likelihood_fn(model, num_particles, axis_name,
                                       resample_every)
@@ -172,11 +172,11 @@ def make_sharded_ll_callable(model, num_particles, mesh,
         return shard_map(
             lambda key, params, ys, zs: inner(key, params, ys, zs),
             mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(),
-            check_rep=False)
+            check_vma=False)
     return shard_map(
         lambda key, params, ys: inner(key, params, ys),
         mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
-        check_rep=False)
+        check_vma=False)
 
 
 __all__ = [

@@ -1,0 +1,143 @@
+"""Generic megakernel factory tests (CPU interpret wiring + TPU
+statistical).  Mirrors tests/test_svol_megakernel.py: interpret-mode
+PRNG is a stub, so CPU checks wiring/validation; statistical agreement
+with the XLA filters runs on the real TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssme_tpu.ops.filter_megakernel import (
+    KernelModel,
+    filter_megakernel,
+    megakernel_log_like,
+    megakernel_swarm_evidence,
+    svol_kernel_model,
+    svol_leverage_kernel_model,
+)
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def test_shape_validation():
+    km = svol_kernel_model()
+    with pytest.raises(ValueError):
+        filter_megakernel(km, 0, jnp.ones((6, 3)), jnp.ones(16),
+                          num_particles=512, interpret=True)
+    with pytest.raises(ValueError):
+        filter_megakernel(km, 0, jnp.ones((8, 3)), jnp.ones(16),
+                          num_particles=100, interpret=True)
+    with pytest.raises(ValueError):
+        filter_megakernel(km, 0, jnp.ones((8, 4)), jnp.ones(16),
+                          num_particles=128, interpret=True)
+    # covariate model requires zs
+    with pytest.raises(ValueError):
+        filter_megakernel(svol_leverage_kernel_model(), 0,
+                          jnp.ones((8, 4)), jnp.ones(16),
+                          num_particles=128, interpret=True)
+
+
+def test_interpret_runs_finite_svol():
+    km = svol_kernel_model()
+    params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
+    ys = 0.3 * jnp.ones(16)
+    total, lcls, fmeans = filter_megakernel(km, 3, params, ys,
+                                            num_particles=128,
+                                            interpret=True)
+    assert total.shape == (8,)
+    assert lcls.shape == (8, 16)
+    assert fmeans.shape == (8, 16)
+    assert np.all(np.isfinite(np.asarray(total)))
+    np.testing.assert_allclose(np.asarray(lcls.sum(-1)),
+                               np.asarray(total), rtol=1e-5)
+
+
+def test_interpret_runs_finite_leverage():
+    km = svol_leverage_kernel_model()
+    params = jnp.tile(jnp.array([[0.9, 0.0, 0.1, -0.3]]), (8, 1))
+    ys = 0.3 * jnp.ones(16)
+    zs = jnp.concatenate([jnp.zeros((1,)), ys[:-1]])
+    total, lcls, _ = filter_megakernel(km, 3, params, ys, zs,
+                                       num_particles=128, interpret=True)
+    assert np.all(np.isfinite(np.asarray(total)))
+
+
+def test_multi_leaf_state_interpret():
+    """A 2-leaf (bivariate) state exercises the joint multi-leaf
+    resampling path: two independent AR(1) components observed in sum."""
+
+    def init(rng, p, y, z, shape):
+        return (rng.normal(shape), rng.normal(shape))
+
+    def propagate(rng, p, state, y, z):
+        a = p[:, 0:1]
+        x1, x2 = state
+        return (a * x1 + rng.normal(x1.shape),
+                a * x2 + rng.normal(x2.shape))
+
+    def log_weight(p, state, y, z):
+        x1, x2 = state
+        resid = y[0] - (x1 + x2)
+        return -0.5 * resid * resid
+
+    km = KernelModel(num_params=1, init=init, propagate=propagate,
+                     log_weight=log_weight, num_state=2, name="biv")
+    params = jnp.full((8, 1), 0.7)
+    total, lcls, _ = filter_megakernel(km, 5, params, jnp.ones(10),
+                                       num_particles=128, interpret=True)
+    assert total.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(total)))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_factory_matches_specialized_svol_kernel():
+    from ssme_tpu.ops.svol_filter_kernel import svol_filter_pallas
+
+    T, B = 200, 32
+    ys = 0.5 * jax.random.normal(jax.random.key(1), (T,))
+    batch = jnp.broadcast_to(jnp.array([1.0, 0.5, float(np.sqrt(0.02))]),
+                             (B, 3))
+    tot_f, _, _ = filter_megakernel(svol_kernel_model(), 7, batch, ys,
+                                    num_particles=512)
+    tot_s, _, _ = svol_filter_pallas(9, batch, ys, num_particles=512)
+    se = float(tot_s.std()) / np.sqrt(B) * 4 + 0.5
+    assert abs(float(tot_f.mean()) - float(tot_s.mean())) < se
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_leverage_kernel_matches_xla_statistically():
+    from ssme_tpu.filters import log_likelihood_fn
+    from ssme_tpu.models import svol_leverage
+
+    T, B = 200, 32
+    ys = 0.1 * jax.random.normal(jax.random.key(1), (T,))
+    zs = jnp.concatenate([jnp.zeros((1,)), ys[:-1]])
+    p = jnp.array([0.9, 0.0, 0.15, -0.3])
+    batch = jnp.broadcast_to(p, (B, 4))
+    tot, _, _ = filter_megakernel(svol_leverage_kernel_model(), 11,
+                                  batch, ys, zs, num_particles=512)
+    ll = log_likelihood_fn(svol_leverage.make_model(), num_particles=512)
+    ref = jax.vmap(lambda k: ll(k, p, ys[:, None], zs[:, None]))(
+        jax.random.split(jax.random.key(2), B))
+    se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
+    assert abs(float(tot.mean()) - float(ref.mean())) < se
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_megakernel_log_like_and_swarm_adapters():
+    ys = 0.1 * jax.random.normal(jax.random.key(1), (64,))
+    zs = jnp.concatenate([jnp.zeros((1,)), ys[:-1]])
+    km = svol_leverage_kernel_model()
+    ll = megakernel_log_like(km, num_particles=256, num_replicates=4)
+    params = jnp.tile(jnp.array([[0.9, 0.0, 0.15, -0.3]]), (3, 1))
+    out = ll(jax.random.key(0), params, ys, zs)
+    assert out.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    draws = jnp.tile(jnp.array([[0.9, 0.0, 0.15, -0.3]]), (12, 1))
+    ev = megakernel_swarm_evidence(km, 3, draws, ys, zs,
+                                   num_particles=256)
+    assert ev["log_cond_like"].shape == (64,)
+    assert ev["per_model_log_cond_likes"].shape == (12, 64)
+    assert np.all(np.isfinite(np.asarray(ev["log_cond_like"])))

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ssme_tpu.filters import log_likelihood_fn
@@ -32,7 +32,7 @@ def test_global_logsumexp_matches_local():
 
     f = shard_map(lambda xs: global_logsumexp(xs, "particle"),
                   mesh=mesh, in_specs=P("particle"), out_specs=P(),
-                  check_rep=False)
+                  check_vma=False)
     got = f(x)
     np.testing.assert_allclose(float(got), float(logsumexp(x)), rtol=1e-5)
 
@@ -46,7 +46,7 @@ def test_sharded_ancestors_match_weights_distribution():
         return sharded_systematic_ancestors(key, logw, "particle")
 
     f = shard_map(anc, mesh=mesh, in_specs=(P("particle"), P()),
-                  out_specs=P("particle"), check_rep=False)
+                  out_specs=P("particle"), check_vma=False)
     counts = np.zeros(n)
     for i in range(50):
         idx = np.asarray(f(w, jax.random.key(i)))
