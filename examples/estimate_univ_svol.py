@@ -81,6 +81,19 @@ def main(argv=None):
     print(f"done: {args.n_mcmc} iters x {args.chains} chains, "
           f"final accept rate {ar:.3f}", file=sys.stderr)
 
+    # convergence diagnostics on the constrained draws (discard 25% burn-in)
+    import numpy as np
+    from ssme_tpu.diagnostics import summarize
+    draws = np.asarray(samples)[args.n_mcmc // 4:]
+    if draws.ndim == 2:
+        draws = draws[:, None, :]
+    for name, stats in summarize(
+            draws, names=["beta", "phi", "sigma_sq"]).items():
+        print(f"{name}: mean={stats['mean']:.4f} sd={stats['sd']:.4f} "
+              f"[{stats['q5']:.4f}, {stats['q95']:.4f}] "
+              f"rhat={stats['rhat']:.3f} ess={stats['ess']:.0f}",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -35,6 +35,7 @@ from ssme_tpu import inference
 from ssme_tpu import parallel
 from ssme_tpu import io
 from ssme_tpu import native
+from ssme_tpu import diagnostics
 
 __version__ = "0.1.0"
 
@@ -49,5 +50,6 @@ __all__ = [
     "parallel",
     "io",
     "native",
+    "diagnostics",
     "__version__",
 ]

@@ -23,7 +23,22 @@ def uniform_bits(shape):
 
 
 def normal_bits(shape):
-    """Standard normals via Box-Muller (u1 in (0, 1] so log is finite)."""
+    """Standard normals via Box-Muller (u1 in (0, 1] so log is finite).
+
+    When the lane count is an even multiple of 256, both Box-Muller
+    outputs (r cos, r sin) are used — the pair is independent N(0,1) —
+    halving the transcendental count per normal (log/sqrt shared, one
+    cos + one sin per TWO normals instead of log/sqrt/cos per one).
+    """
+    if len(shape) == 2 and shape[1] % 256 == 0:
+        half = (shape[0], shape[1] // 2)
+        bits1 = pltpu.prng_random_bits(half)
+        bits2 = pltpu.prng_random_bits(half)
+        u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * _INV_2_32
+        u2 = (bits2.astype(jnp.float32) + 2147483648.0) * _INV_2_32
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        a = TWO_PI * u2
+        return jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=1)
     bits1 = pltpu.prng_random_bits(shape)
     bits2 = pltpu.prng_random_bits(shape)
     u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) * _INV_2_32

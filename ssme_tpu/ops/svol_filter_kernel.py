@@ -46,12 +46,13 @@ from ssme_tpu.utils import logmeanexp
 TILE_B = 8
 
 
-def _make_kernel(num_particles: int, num_steps: int):
+def _make_kernel(num_particles: int, num_steps: int, ess_frac: float):
     n = num_particles
-    t_last = num_steps - 1
+    always = ess_frac >= 1.0
+    log_n = float(np.log(float(n)))
 
     def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref, xmean_ref,
-               x_scr, lw_scr):
+               x_scr, lw_scr, carry_scr):
         b = pl.program_id(0)
         t = pl.program_id(1)
         # prng_seed accepts at most 2 values; mix the tile index in
@@ -62,70 +63,100 @@ def _make_kernel(num_particles: int, num_steps: int):
         sigma = params_ref[:, 2:3]
         y = ys_ref[t]
 
-        # ---- resample previous cloud (t > 0) --------------------------
+        # ---- maybe resample, then propagate (t > 0) --------------------
+        # lw_scr carries max-normalized log-weights ACROSS steps (proper
+        # SIS weighting); resampling fires only when the worst row's ESS
+        # drops below ess_frac * n (always, when ess_frac >= 1).  The
+        # ablation-measured cost of the resample block is ~3.3us of the
+        # 4.3us cell at n=512 — gating it is the main throughput lever.
         @pl.when(t > 0)
         def _():
-            lw = lw_scr[:]                                   # (8, n)
-            m = jnp.max(lw, axis=-1, keepdims=True)
-            w = jnp.exp(lw - m)
-            # inclusive prefix sum along lanes on the MXU:
-            # cdf[r,i] = sum_{k<=i} w[r,k] = (w @ LT)[r,i]
-            cdf = jax.lax.dot_general(
-                w, lt_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            total = cdf[:, n - 1:n]                           # (8, 1)
-            # exclusive CDF must be the SAME rounded values shifted by
-            # one lane (cdf - w re-rounds and can leave ~1-ulp gaps or
-            # overlaps at interval boundaries, selecting 0 or 2
-            # ancestors); a roll makes the intervals an exact partition
-            lane0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n), 1)
-            cdf_ex = jnp.where(lane0 == 0, 0.0,
-                               pltpu.roll(cdf, shift=1, axis=1))
-            u0 = _uniform_bits((TILE_B, 1))                   # (8, 1)
+            w = jnp.exp(lw_scr[:])                           # (8, n)
 
-            xt = jnp.transpose(x_scr[:])                      # (n, 8)
-            cols = []
-            for row in range(TILE_B):
-                # u as a synthesized COLUMN: (j + u0) / n * total
-                jcol = jax.lax.broadcasted_iota(
-                    jnp.int32, (n, 1), 0).astype(jnp.float32)
-                u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
-                cdf_row = cdf[row:row + 1, :]                 # (1, n)
-                cdfx_row = cdf_ex[row:row + 1, :]
-                # one-hot selection: first i with cdf_i >= u_j
-                sel = jnp.where(
-                    (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
-                # (n_out, n_in) @ (n_in, 8) on the MXU; keep column `row`
-                picked = jax.lax.dot_general(
-                    sel, xt, (((1,), (0,)), ((), ())),
+            def resample():
+                # inclusive prefix sum along lanes on the MXU:
+                # cdf[r,i] = sum_{k<=i} w[r,k] = (w @ LT)[r,i]
+                cdf = jax.lax.dot_general(
+                    w, lt_ref[:], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                cols.append(picked[:, row:row + 1])
-            x_scr[:] = jnp.transpose(jnp.concatenate(cols, axis=1))
-            # propagate resampled particles
+                total = cdf[:, n - 1:n]                       # (8, 1)
+                # exclusive CDF must be the SAME rounded values shifted
+                # by one lane (cdf - w re-rounds and can leave ~1-ulp
+                # gaps or overlaps at interval boundaries, selecting 0
+                # or 2 ancestors); a roll makes an exact partition
+                lane0 = jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE_B, n), 1)
+                cdf_ex = jnp.where(lane0 == 0, 0.0,
+                                   pltpu.roll(cdf, shift=1, axis=1))
+                u0 = _uniform_bits((TILE_B, 1))               # (8, 1)
+
+                xt = jnp.transpose(x_scr[:])                  # (n, 8)
+                cols = []
+                for row in range(TILE_B):
+                    # u as a synthesized COLUMN: (j + u0) / n * total
+                    jcol = jax.lax.broadcasted_iota(
+                        jnp.int32, (n, 1), 0).astype(jnp.float32)
+                    u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
+                    cdf_row = cdf[row:row + 1, :]             # (1, n)
+                    cdfx_row = cdf_ex[row:row + 1, :]
+                    # one-hot selection: first i with cdf_i >= u_j
+                    sel = jnp.where(
+                        (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
+                    # (n_out, n_in) @ (n_in, 8) on the MXU; keep col `row`
+                    picked = jax.lax.dot_general(
+                        sel, xt, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    cols.append(picked[:, row:row + 1])
+                x_scr[:] = jnp.transpose(jnp.concatenate(cols, axis=1))
+                # weights reset to uniform: log W = 0, LSE = log n
+                lw_scr[:] = jnp.zeros_like(lw_scr)
+                carry_scr[:] = jnp.full_like(carry_scr, log_n)
+
+            if always:
+                resample()
+            else:
+                s1 = jnp.sum(w, axis=-1, keepdims=True)
+                s2 = jnp.sum(w * w, axis=-1, keepdims=True)
+                ess = s1 * s1 / s2                            # (8, 1)
+                pl.when(jnp.min(ess) < ess_frac * n)(resample)
+            # propagate (resampled or weight-carrying) particles
             x_scr[:] = phi * x_scr[:] + sigma * _normal_bits((TILE_B, n))
 
-        # ---- init (t == 0): stationary draw ---------------------------
+        # ---- init (t == 0): stationary draw, uniform weights -----------
         @pl.when(t == 0)
         def _():
             sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
             x_scr[:] = _normal_bits((TILE_B, n)) * sd0
+            lw_scr[:] = jnp.zeros_like(lw_scr)
+            carry_scr[:] = jnp.full_like(carry_scr, log_n)
 
         # ---- weight ---------------------------------------------------
-        sd = beta * jnp.exp(0.5 * x_scr[:])
-        z = y / sd
-        lw = -_HALF_LOG_2PI - jnp.log(sd) - 0.5 * z * z
-        lw_scr[:] = lw
+        # log-free form: log N(y; 0, (beta e^{x/2})^2)
+        #   = -log(2pi)/2 - log(beta) - x/2 - (y e^{-x/2} / beta)^2 / 2
+        # one exp per element (vs exp+log+div of the naive form); the
+        # per-row constants (log beta, y/beta) cost 8 lanes each
+        x = x_scr[:]
+        zval = (y / beta) * jnp.exp(-0.5 * x)
+        lg = (-_HALF_LOG_2PI - jnp.log(beta)) - 0.5 * x - 0.5 * zval * zval
+        lw = lw_scr[:] + lg
 
         # ---- per-step conditional log-likelihood ----------------------
-        # (resample-every-step bootstrap form: LSE(logw) - log N)
+        # ratio form (reference LWFilter2 accounting,
+        # liu_west_filter.h:1651-1659): p(y_t | y_{1:t-1}) ~=
+        # LSE(log W_{t-1} + log g_t) - LSE(log W_{t-1}); with every-step
+        # resampling this reduces to LSE(log g) - log n
         m = jnp.max(lw, axis=-1, keepdims=True)
-        s = jnp.sum(jnp.exp(lw - m), axis=-1, keepdims=True)
-        lcl = m + jnp.log(s) - np.log(float(n))               # (8, 1)
-
-        # filtered state mean E[x_t | y_{1:t}] (self-normalized)
         wnorm = jnp.exp(lw - m)
-        xmean = (jnp.sum(x_scr[:] * wnorm, axis=-1, keepdims=True)
-                 / jnp.sum(wnorm, axis=-1, keepdims=True))       # (8, 1)
+        s = jnp.sum(wnorm, axis=-1, keepdims=True)
+        lcl = (m + jnp.log(s)) - carry_scr[:, 0:1]            # (8, 1)
+
+        # renormalize the carried log-weights (max 0) and store their LSE
+        lw_scr[:] = lw - m
+        carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
+
+        # filtered state mean E[x_t | y_{1:t}] (self-normalized over the
+        # FULL carried weights, not just this step's increment)
+        xmean = jnp.sum(x * wnorm, axis=-1, keepdims=True) / s   # (8, 1)
 
         # stage into the current (8, 128) output blocks; pallas keeps a
         # block in VMEM while t // 128 is unchanged and flushes on change.
@@ -143,8 +174,10 @@ def _make_kernel(num_particles: int, num_steps: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_particles", "interpret"))
-def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
+@functools.partial(jax.jit, static_argnames=("num_particles", "interpret",
+                                             "ess_threshold"))
+def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
+                       ess_threshold=1.0):
     """Full-sequence SVOL bootstrap filtering for B filters at once.
 
     seed: int32 scalar; params: (B, 3) constrained [beta, phi, sigma]
@@ -153,6 +186,11 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
     total = sum_t log p(y_t | y_{1:t-1}); filtered_x_mean is the
     self-normalized E[x_t | y_{1:t}] per filter per step (the volatility
     path).
+
+    ess_threshold: resample when the tile's worst-row ESS falls below
+    this fraction of n (1.0 = every step, the reference default;
+    0.5 = the standard adaptive schedule, ~3x faster — the evidence
+    estimator stays unbiased, cf. ``resampling.maybe_resample``).
     """
     ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
     t_len = ys.shape[0]
@@ -168,7 +206,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
     t_pad = ((t_len + 127) // 128) * 128
 
     lcls = pl.pallas_call(
-        _make_kernel(n, t_len),
+        _make_kernel(n, t_len, float(ess_threshold)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
             grid=(b // TILE_B, t_len),
@@ -189,6 +227,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
             scratch_shapes=[
                 pltpu.VMEM((TILE_B, n), jnp.float32),    # particles
                 pltpu.VMEM((TILE_B, n), jnp.float32),    # log-weights
+                pltpu.VMEM((TILE_B, 128), jnp.float32),  # LSE carry
             ],
         ),
         out_shape=[
@@ -202,14 +241,16 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False):
     return jnp.sum(lcls, axis=-1), lcls, xmeans[:, :t_len]
 
 
-def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
+def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int,
+                                    ess_threshold: float = 0.5):
     """PMMH likelihood hook: replicate-averaged pallas filter.
 
     Returns ``ll(key, params, ys) -> scalar`` where ``params`` is the
     constrained (beta, phi, ss) vector (reference ordering; ss = sigma^2,
     ``univ_svol_bootstrap_filter.h:54-61``).  Runs ``num_replicates``
     filters in one kernel launch and log-mean-exps them
-    (``thread_pool.h:259-273`` semantics).
+    (``thread_pool.h:259-273`` semantics).  ESS-adaptive resampling by
+    default (unbiased, ~3x faster; pass 1.0 for every-step parity).
     """
     r = num_replicates
     b = ((r + TILE_B - 1) // TILE_B) * TILE_B
@@ -219,13 +260,15 @@ def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int):
         p = jnp.stack([params[0], params[1], jnp.sqrt(params[2])])
         batch = jnp.broadcast_to(p, (b, 3))
         vals, _, _ = svol_filter_pallas(seed, batch, ys,
-                                        num_particles=num_particles)
+                                        num_particles=num_particles,
+                                        ess_threshold=ess_threshold)
         return logmeanexp(vals[:r])
 
     return ll
 
 
-def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
+def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
+                                 ess_threshold: float = 0.5):
     """PMMH ``batched_log_like`` hook: ALL chains x replicates in one
     kernel launch.
 
@@ -233,7 +276,8 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
     constrained (beta, phi, ss) rows.  The kernel's row axis is laid out
     chain-major: row c*R + r is replicate r of chain c; the per-chain
     log-mean-exp reduction replaces the averaging thread pool
-    (``thread_pool.h:259-273``).
+    (``thread_pool.h:259-273``).  ESS-adaptive resampling by default
+    (unbiased, ~3x faster; pass 1.0 for every-step parity).
     """
     r = num_replicates
 
@@ -248,7 +292,8 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int):
         batch = jnp.concatenate(
             [batch, jnp.ones((b - b_needed, 3), batch.dtype)], axis=0)
         vals, _, _ = svol_filter_pallas(seed, batch, ys,
-                                        num_particles=num_particles)
+                                        num_particles=num_particles,
+                                        ess_threshold=ess_threshold)
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll
