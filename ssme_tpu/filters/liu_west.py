@@ -104,7 +104,8 @@ class LiuWestFilter:
         a = self.shrinkage_a
         theta_bar = jnp.mean(trans_params, axis=0)
         centered = trans_params - theta_bar
-        vt = (centered.T @ centered) / trans_params.shape[0]
+        vt = jnp.matmul(centered.T, centered,
+                        precision=jax.lax.Precision.HIGHEST) / trans_params.shape[0]
         h2 = 1.0 - a * a
         chol = rv.chol_with_jitter(h2 * vt)
         return theta_bar, chol
@@ -177,7 +178,7 @@ class LiuWestFilter:
         # kernel-sample parameters around the shrunk ancestor, lw:424-427
         eps = jax.random.normal(k_mvn, shrunk_anc.shape,
                                 dtype=shrunk_anc.dtype)
-        new_trans = shrunk_anc + eps @ chol.T
+        new_trans = shrunk_anc + jnp.matmul(eps, chol.T, precision=jax.lax.Precision.HIGHEST)
         new_untrans = self._constrain(new_trans)
 
         # propagate states and reweight by the obs-density ratio, lw:431-434
@@ -223,7 +224,7 @@ class LiuWestFilter:
         theta_bar, chol = self._proposal_components(state.trans_params)
         shrunk = a * state.trans_params + (1.0 - a) * theta_bar
         eps = jax.random.normal(k_mvn, shrunk.shape, dtype=shrunk.dtype)
-        new_trans = shrunk + eps @ chol.T  # lw:1628-1629
+        new_trans = shrunk + jnp.matmul(eps, chol.T, precision=jax.lax.Precision.HIGHEST)  # lw:1628-1629
         new_untrans = self._constrain(new_trans)
 
         if m.sample_q_batch is not None:
@@ -344,7 +345,7 @@ class LiuWestFilter:
             theta_bar, chol = self._proposal_components(trans)
             shrunk = a * trans + (1.0 - a) * theta_bar
             eps = jax.random.normal(k_mvn, shrunk.shape, dtype=shrunk.dtype)
-            new_trans = shrunk + eps @ chol.T
+            new_trans = shrunk + jnp.matmul(eps, chol.T, precision=jax.lax.Precision.HIGHEST)
             new_untrans = self._constrain(new_trans)
             if m.has_covariates:
                 xs = jax.vmap(lambda kk, x, p, z: m.sample_f(kk, p, x, z))(

@@ -205,8 +205,9 @@ class AdaptivePMMH:
             (theta, mean, sigma_hat, ct), i)
         # propose on the transformed space (ada_pmmh_mvn.h:260-269)
         chol = rv.chol_with_jitter(ct)
-        proposed = theta + chol @ jax.random.normal(k_prop, theta.shape,
-                                                    dtype=theta.dtype)
+        proposed = theta + jnp.matmul(
+            chol, jax.random.normal(k_prop, theta.shape, dtype=theta.dtype),
+            precision=jax.lax.Precision.HIGHEST)
         new_lp = self._log_prior_with_jacobian(proposed)
         return proposed, new_lp, mean, sigma_hat, ct, k_like, k_u, key
 

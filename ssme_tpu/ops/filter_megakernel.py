@@ -228,6 +228,12 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         raise ValueError(f"B={b} must be a multiple of {TILE_B}")
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
+    if n > 1024:
+        raise ValueError(
+            f"num_particles={n}: the in-VMEM lower-triangular CDF matrix "
+            "is n^2 floats; above 1024 it exceeds scoped VMEM. Use the "
+            "XLA path (filters.BootstrapFilter) or shard the particle "
+            "axis (parallel.sharded_pf) for larger clouds.")
     if params.shape[1] != kmodel.num_params:
         raise ValueError(f"params rows must have {kmodel.num_params} cols")
 
@@ -387,6 +393,88 @@ def svol_leverage_kernel_model() -> KernelModel:
                        name="svol_leverage")
 
 
+def factor_svol_kernel_model(n_assets: int = 5) -> KernelModel:
+    """Multivariate factor SVOL (``models/factor_svol.py``) with k=2
+    factors as a TWO-LEAF kernel model: the state is (x1, x2), each a
+    ``(TILE_B, n)`` cloud, resampled jointly.
+
+    The Woodbury observation density y ~ N(0, L diag(e^x) L' + diag(d))
+    specializes to explicit 2x2 formulas per particle: the k x k matrix
+    M = diag(e^-x) + L' D^-1 L has a per-row constant part
+    A = L' D^-1 L (computed from the parameter columns with a static
+    loop over assets) and a per-particle diagonal, so det/inverse are a
+    handful of elementwise ops — no per-particle linear algebra.
+
+    Parameter rows: [phi(2), mu(2), sigma(2), vec(L)(2n), d(n)]
+    (constrained, the model's ordering).
+    """
+    na = n_assets
+    num_params = 6 + 2 * na + na
+
+    def _unpack(p):
+        phi = (p[:, 0:1], p[:, 1:2])
+        mu = (p[:, 2:3], p[:, 3:4])
+        sigma = (p[:, 4:5], p[:, 5:6])
+        # loadings stored row-major: L[i, j] = p[6 + i*2 + j]
+        ell = [(p[:, 6 + 2 * i:7 + 2 * i], p[:, 7 + 2 * i:8 + 2 * i])
+               for i in range(na)]
+        d = [p[:, 6 + 2 * na + i:7 + 2 * na + i] for i in range(na)]
+        return phi, mu, sigma, ell, d
+
+    def init(rng, p, y, z, shape):
+        phi, mu, sigma, _, _ = _unpack(p)
+        out = []
+        for j in range(2):
+            sd0 = sigma[j] / jnp.sqrt(1.0 - phi[j] * phi[j])
+            out.append(mu[j] + rng.normal(shape) * sd0)
+        return tuple(out)
+
+    def propagate(rng, p, state, y, z):
+        phi, mu, sigma, _, _ = _unpack(p)
+        return tuple(
+            mu[j] + phi[j] * (state[j] - mu[j])
+            + sigma[j] * rng.normal(state[j].shape)
+            for j in range(2))
+
+    def log_weight(p, state, y, z):
+        _, _, _, ell, d = _unpack(p)
+        x1, x2 = state
+        # per-row constants: A = L' D^-1 L, v = L' D^-1 y, y' D^-1 y,
+        # sum log d  (static loop over assets; each term is (TILE_B, 1))
+        a11 = a12 = a22 = 0.0
+        v1 = v2 = yy = sum_log_d = 0.0
+        for i in range(na):
+            l1, l2 = ell[i]
+            dinv = 1.0 / d[i]
+            a11 = a11 + l1 * l1 * dinv
+            a12 = a12 + l1 * l2 * dinv
+            a22 = a22 + l2 * l2 * dinv
+            v1 = v1 + l1 * dinv * y[i]
+            v2 = v2 + l2 * dinv * y[i]
+            yy = yy + y[i] * y[i] * dinv
+            sum_log_d = sum_log_d + jnp.log(d[i])
+        # per-particle 2x2 Woodbury
+        e1 = jnp.exp(-x1)
+        e2 = jnp.exp(-x2)
+        m11 = e1 + a11
+        m22 = e2 + a22
+        det = m11 * m22 - a12 * a12
+        # v' M^-1 v
+        quad_corr = (m22 * v1 * v1 - 2.0 * a12 * v1 * v2
+                     + m11 * v2 * v2) / det
+        # logdet(Sigma) = logdet(M) + sum(x) + sum(log d)
+        logdet = jnp.log(det) + x1 + x2 + sum_log_d
+        return (-na * _prng.HALF_LOG_2PI - 0.5 * logdet
+                - 0.5 * (yy - quad_corr))
+
+    return KernelModel(num_params=num_params, init=init,
+                       propagate=propagate, log_weight=log_weight,
+                       num_state=2, dim_obs=na,
+                       functional=lambda p, st: st[0],
+                       name=f"factor_svol_{na}x2")
+
+
 __all__ = ["KernelModel", "filter_megakernel", "megakernel_log_like",
            "megakernel_swarm_evidence", "svol_kernel_model",
-           "svol_leverage_kernel_model", "TILE_B"]
+           "svol_leverage_kernel_model", "factor_svol_kernel_model",
+           "TILE_B"]

@@ -111,7 +111,7 @@ def mvn_sample(key, mean, cov=None, chol=None):
     if chol is None:
         chol = chol_with_jitter(cov)
     eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
-    return mean + chol @ eps
+    return mean + jnp.matmul(chol, eps, precision=jax.lax.Precision.HIGHEST)
 
 
 def mvn_logpdf(x, mean, cov=None, chol=None):

@@ -141,3 +141,69 @@ def test_megakernel_log_like_and_swarm_adapters():
     assert ev["log_cond_like"].shape == (64,)
     assert ev["per_model_log_cond_likes"].shape == (12, 64)
     assert np.all(np.isfinite(np.asarray(ev["log_cond_like"])))
+
+
+def test_factor_svol_kernel_log_weight_matches_model():
+    """The kernel's 2x2 explicit Woodbury must equal the model's
+    general log_g exactly (hooks are pure jnp functions — testable
+    outside pallas)."""
+    from ssme_tpu.models import factor_svol
+    from ssme_tpu.ops.filter_megakernel import factor_svol_kernel_model
+
+    na = 4
+    model = factor_svol.make_model(na, 2)
+    km = factor_svol_kernel_model(na)
+    params = model.sample_prior(jax.random.key(0))
+    assert params.shape == (km.num_params,)
+
+    n = 16
+    x1 = jax.random.normal(jax.random.key(1), (8, n))
+    x2 = jax.random.normal(jax.random.key(2), (8, n))
+    y = jax.random.normal(jax.random.key(3), (na,))
+    p_rows = jnp.broadcast_to(params, (8, km.num_params))
+
+    lw_kernel = km.log_weight(p_rows, (x1, x2), tuple(y), ())
+
+    def ref_one(x1s, x2s):
+        return model.log_g(params, y, jnp.stack([x1s, x2s]), None)
+
+    lw_ref = jax.vmap(jax.vmap(ref_one))(x1, x2)
+    np.testing.assert_allclose(np.asarray(lw_kernel), np.asarray(lw_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_factor_svol_kernel_interpret():
+    from ssme_tpu.models import factor_svol
+    from ssme_tpu.ops.filter_megakernel import factor_svol_kernel_model
+
+    na = 3
+    model = factor_svol.make_model(na, 2)
+    km = factor_svol_kernel_model(na)
+    params = model.sample_prior(jax.random.key(0))
+    _, ys = factor_svol.simulate(jax.random.key(1), params, 10, na, 2)
+    batch = jnp.broadcast_to(params, (8, km.num_params))
+    total, lcls, fm = filter_megakernel(km, 5, batch, ys,
+                                        num_particles=128, interpret=True)
+    assert total.shape == (8,)
+    assert lcls.shape == (8, 10)
+    assert np.all(np.isfinite(np.asarray(total)))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_factor_svol_kernel_matches_xla_statistically():
+    from ssme_tpu.filters import log_likelihood_fn
+    from ssme_tpu.models import factor_svol
+    from ssme_tpu.ops.filter_megakernel import factor_svol_kernel_model
+
+    na, B = 4, 32
+    model = factor_svol.make_model(na, 2)
+    km = factor_svol_kernel_model(na)
+    params = model.sample_prior(jax.random.key(0))
+    _, ys = factor_svol.simulate(jax.random.key(1), params, 150, na, 2)
+    batch = jnp.broadcast_to(params, (B, km.num_params))
+    tot, _, _ = filter_megakernel(km, 11, batch, ys, num_particles=512)
+    ll = log_likelihood_fn(model, num_particles=512)
+    ref = jax.vmap(lambda k: ll(k, params, ys))(
+        jax.random.split(jax.random.key(2), B))
+    se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
+    assert abs(float(tot.mean()) - float(ref.mean())) < se
