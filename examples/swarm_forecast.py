@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--param-particles", type=int, default=32)
     p.add_argument("--forecast", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--engine", choices=["generic", "pallas"],
+                   default="generic",
+                   help="pallas: run the whole filter bank in ONE "
+                        "megakernel launch (TPU; svol and svol_leverage)")
     args = p.parse_args(argv)
 
     from ssme_tpu.inference import SwarmFilter
@@ -52,6 +56,38 @@ def main(argv=None):
                            dim_param=model.dim_param)
     draws = sampler.samp(jax.random.key(args.seed),
                          num=args.param_particles)
+
+    if args.engine == "pallas":
+        # whole swarm filter bank in one pallas_call (the split-data
+        # thread pool of pswarm_filter.h as a kernel row axis)
+        from ssme_tpu.ops.filter_megakernel import (
+            megakernel_swarm_evidence, svol_kernel_model,
+            svol_leverage_kernel_model)
+        if args.model == "svol":
+            km = svol_kernel_model()
+            rows = np.asarray(draws)
+            rows = np.stack([rows[:, 0], rows[:, 1],
+                             np.sqrt(rows[:, 2])], axis=-1)  # ss -> sigma
+            zrows = None
+        else:
+            km = svol_leverage_kernel_model()
+            rows = np.asarray(draws)
+            zrows = np.asarray(zs).reshape(-1, 1)
+        n_state = min(args.state_particles // 128 * 128, 1024) or 128
+        ev = megakernel_swarm_evidence(
+            km, args.seed + 1, jnp.asarray(rows), ys, zrows,
+            num_particles=n_state)
+        lcl = np.asarray(ev["log_cond_like"])
+        print(f"total conditional evidence: {lcl.sum():.2f} "
+              f"(reference mean-of-logs aggregation: "
+              f"{np.asarray(ev['mean_log_cond_like']).sum():.2f})")
+        vol = np.asarray(ev["functional_path"])
+        print(f"filtered state (last 5): "
+              f"{np.array2string(vol[-5:], precision=3)}")
+        if args.forecast:
+            print("(forecasting uses the generic engine; rerun without "
+                  "--engine pallas)", file=sys.stderr)
+        return
 
     sw = SwarmFilter(model, num_state_particles=args.state_particles,
                      num_param_particles=args.param_particles,

@@ -14,8 +14,11 @@ in the *transformed* (unconstrained) space, with kernel shrinkage
     m_i = a theta_i + (1 - a) theta_bar                   [lw:424]
     theta'_i ~ MVN(m_i, h^2 Vt)                           [lw:426-427]
 
-where theta_bar / Vt are the unweighted mean/covariance of the transformed
-parameter particles (``liu_west_filter.h:569-583``).
+where theta_bar / Vt are the weight-averaged mean/covariance of the
+transformed parameter particles (the reference computes them unweighted,
+``liu_west_filter.h:569-583`` — identical when resampling every step
+leaves uniform weights; the weighted form stays correct under
+``resample_every > 1`` / ESS-adaptive schedules).
 
 variant="apf"  — auxiliary-PF form (``LWFilter::filter``, lw:365-552):
   first-stage weights logw_i + log g(y, propMu(x_i), shrunk theta_i)
@@ -98,14 +101,28 @@ class LiuWestFilter:
         return (3.0 * self.delta - 1.0) / (2.0 * self.delta)
 
     # ------------------------------------------------------------------
-    def _proposal_components(self, trans_params):
-        """theta_bar and chol(h^2 Vt) from the (unweighted) particle cloud
-        (``liu_west_filter.h:569-583``)."""
+    def _proposal_components(self, trans_params, log_weights=None):
+        """theta_bar and chol(h^2 Vt) from the particle cloud.
+
+        The reference computes UNWEIGHTED moments
+        (``liu_west_filter.h:569-583``) — exact only when resampling
+        every step leaves uniform weights.  With ``log_weights`` given,
+        weighted moments are used instead; they coincide with the
+        reference's when weights are uniform and stay correct under
+        ``resample_every > 1`` / ESS-adaptive schedules.
+        """
         a = self.shrinkage_a
-        theta_bar = jnp.mean(trans_params, axis=0)
+        if log_weights is None:
+            w = jnp.full((trans_params.shape[0],),
+                         1.0 / trans_params.shape[0])
+        else:
+            mx = jnp.max(log_weights)
+            w = jnp.exp(log_weights - mx)
+            w = w / jnp.sum(w)
+        theta_bar = jnp.sum(trans_params * w[:, None], axis=0)
         centered = trans_params - theta_bar
-        vt = jnp.matmul(centered.T, centered,
-                        precision=jax.lax.Precision.HIGHEST) / trans_params.shape[0]
+        vt = jnp.matmul((centered * w[:, None]).T, centered,
+                        precision=jax.lax.Precision.HIGHEST)
         h2 = 1.0 - a * a
         chol = rv.chol_with_jitter(h2 * vt)
         return theta_bar, chol
@@ -155,7 +172,8 @@ class LiuWestFilter:
         a = self.shrinkage_a
         key, k_idx, k_mvn, k_f, k_res = jax.random.split(state.key, 5)
 
-        theta_bar, chol = self._proposal_components(state.trans_params)
+        theta_bar, chol = self._proposal_components(state.trans_params,
+                                                    state.log_weights)
         shrunk = a * state.trans_params + (1.0 - a) * theta_bar  # (N, dp)
         shrunk_untrans = self._constrain(shrunk)
         untrans_old = self._constrain(state.trans_params)
@@ -221,7 +239,8 @@ class LiuWestFilter:
         a = self.shrinkage_a
         key, k_mvn, k_q, k_res = jax.random.split(state.key, 4)
 
-        theta_bar, chol = self._proposal_components(state.trans_params)
+        theta_bar, chol = self._proposal_components(state.trans_params,
+                                                    state.log_weights)
         shrunk = a * state.trans_params + (1.0 - a) * theta_bar
         eps = jax.random.normal(k_mvn, shrunk.shape, dtype=shrunk.dtype)
         new_trans = shrunk + jnp.matmul(eps, chol.T, precision=jax.lax.Precision.HIGHEST)  # lw:1628-1629

@@ -29,8 +29,12 @@ Algorithm per t>0 cell (reference lines in liu_west_filter.h):
   9. joint (x, theta) systematic resample           [:480-481]
 
 The covariate z_t is the previous observation (leverage), read from the
-SMEM-prefetched series.  Restrictions: N multiple of 128; resampling
-every step; prior = uniform box over (phi, mu, sigma, rho).
+SMEM-prefetched series.  Joint (x, theta) resampling fires on the
+``resample_every`` schedule (reference ``rs``) or, with
+``ess_threshold > 0``, only when the weight ESS drops below that
+fraction of N — skipping the whole selection block on other steps.
+Restrictions: N multiple of 128; prior = uniform box over
+(phi, mu, sigma, rho).
 """
 
 from __future__ import annotations
@@ -74,7 +78,7 @@ def _lse_row(row):
 
 
 def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
-                  resample_every=1, variant="apf"):
+                  resample_every=1, variant="apf", ess_threshold=0.0):
     n = num_particles
     t_last = num_steps - 1
     a = shrink_a
@@ -118,19 +122,36 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                 preferred_element_type=jnp.float32)
             return jnp.transpose(picked)
 
-        def joint_resample(state_tile, lw_row, do):
-            """Joint (x, theta) systematic resample; weights reset to 0
-            (liu_west_filter.h:90-145 semantics)."""
-            m = jnp.max(lw_row, axis=-1, keepdims=True)
-            w = jnp.exp(lw_row - m)
-            u0 = _uniform_bits((1, 1))[0, 0]
-            picked = select_matmul(w, u0, state_tile)
-            new_tile = jnp.where(do, picked, state_tile)
-            # zero the log-weight row if resampled
-            lane_row = jax.lax.broadcasted_iota(jnp.int32, (TILE, n), 0)
-            new_tile = jnp.where(do & (lane_row == 1),
-                                 jnp.zeros_like(new_tile), new_tile)
-            return new_tile
+        def store_maybe_resampled(tile, lw_row):
+            """Write ``tile`` to scratch; joint (x, theta) systematic
+            resample (liu_west_filter.h:90-145 semantics) fires only on
+            schedule — or, with ess_threshold > 0, only when the ESS of
+            ``lw_row`` drops below that fraction of n (the resample
+            block is skipped entirely on non-firing steps)."""
+            s_scr[:] = tile
+
+            def do_resample():
+                m = jnp.max(lw_row, axis=-1, keepdims=True)
+                w = jnp.exp(lw_row - m)
+                u0 = _uniform_bits((1, 1))[0, 0]
+                picked = select_matmul(w, u0, tile)
+                # zero the log-weight row (weights reset to uniform)
+                lane_row = jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE, n), 0)
+                s_scr[:] = jnp.where(lane_row == 1,
+                                     jnp.zeros_like(picked), picked)
+
+            if ess_threshold > 0.0:
+                m = jnp.max(lw_row, axis=-1, keepdims=True)
+                w = jnp.exp(lw_row - m)
+                s1 = jnp.sum(w)
+                s2 = jnp.sum(w * w)
+                pl.when(s1 * s1 / s2 < ess_threshold * n)(do_resample)
+            elif resample_every == 1:
+                do_resample()
+            else:
+                pl.when(jax.lax.rem(t + 1, resample_every) == 0)(
+                    do_resample)
 
         @pl.when(t == 0)
         def _():
@@ -153,8 +174,7 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                 [x, lw, th, jnp.zeros((2, n), jnp.float32)], axis=0)
             lcl_val = _lse_row(lw)[0, 0] - np.log(float(n))
             stage_lcl(lcl_val)
-            do = jnp.asarray(resample_every == 1)
-            s_scr[:] = joint_resample(tile, lw, do)
+            store_maybe_resampled(tile, lw)
 
         @pl.when(t > 0)
         def _():
@@ -163,14 +183,22 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             th = s_scr[2:6, :]
             z = ys_ref[t - 1]
 
-            theta_bar = jnp.mean(th, axis=-1, keepdims=True)  # lw:569-583
+            # weighted shrinkage moments (lw:569-583 computes them
+            # unweighted — identical when weights are uniform after an
+            # every-step resample; the weighted form stays correct under
+            # rs > 1 / ESS-adaptive schedules)
+            mw = jnp.max(lw, axis=-1, keepdims=True)
+            ww = jnp.exp(lw - mw)                             # (1, n)
+            wsum = jnp.sum(ww, axis=-1, keepdims=True)
+            theta_bar = (jnp.sum(th * ww, axis=-1, keepdims=True)
+                         / wsum)                              # (4, 1)
             pad21 = jnp.zeros((2, 1), jnp.float32)
             centered = s_scr[:] - jnp.concatenate(
                 [pad21, theta_bar, pad21], axis=0)
             gram = jax.lax.dot_general(
-                centered, jnp.transpose(centered),
+                centered * ww, jnp.transpose(centered),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) / float(n)
+                preferred_element_type=jnp.float32) / wsum[0, 0]
             gram_scr[:, 0:8] = gram
 
             shrunk = a * th + (1.0 - a) * theta_bar
@@ -248,9 +276,7 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             tile = jnp.concatenate(
                 [x_new, lw_new, th_new, jnp.zeros((2, n), jnp.float32)],
                 axis=0)
-            do = jnp.asarray((resample_every == 1)) | (
-                jax.lax.rem(t + 1, resample_every) == 0)
-            s_scr[:] = joint_resample(tile, lw_new, do)
+            store_maybe_resampled(tile, lw_new)
 
         @pl.when(t == t_last)
         def _():
@@ -261,11 +287,11 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_filters", "num_particles", "delta", "resample_every", "variant",
-    "interpret"))
+    "interpret", "ess_threshold"))
 def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
                             delta=0.99, prior_bounds=None,
                             resample_every=1, variant="apf",
-                            interpret=False):
+                            interpret=False, ess_threshold=0.0):
     """Full-sequence Liu-West (APF) filtering of the leverage model.
 
     seed: int32; ys: (T,) or (T, 1) observations (z_t = y_{t-1} feeds back
@@ -301,7 +327,8 @@ def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
     if variant not in ("apf", "sisr"):
         raise ValueError("variant must be 'apf' or 'sisr'")
     lcls, cloud = pl.pallas_call(
-        _build_kernel(n, t_len, shrink_a, lo, hi, resample_every, variant),
+        _build_kernel(n, t_len, shrink_a, lo, hi, resample_every, variant,
+                      float(ess_threshold)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys
             grid=(num_filters, t_len),
