@@ -93,8 +93,13 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float):
         pltpu.prng_seed(seed_ref[0] + b * 1000003, t)
 
         p = params_ref[:]                                    # (8, P)
-        y = tuple(ys_ref[t, j] for j in range(kmodel.dim_obs))
-        z = tuple(zs_ref[t, j] for j in range(kmodel.dim_cov))
+        # ys/zs are flattened row-major to 1-D for SMEM prefetch: a 2-D
+        # SMEM operand is lane-padded to 128 columns (T x 128 x 4B blows
+        # the 1MB SMEM budget for long series)
+        y = tuple(ys_ref[t * kmodel.dim_obs + j]
+                  for j in range(kmodel.dim_obs))
+        z = tuple(zs_ref[t * kmodel.dim_cov + j]
+                  for j in range(kmodel.dim_cov))
 
         # ---- maybe resample, then propagate (t > 0) --------------------
         # ESS-gated resampling with proper carried weights (see
@@ -221,6 +226,9 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         zs = jnp.asarray(zs, jnp.float32).reshape(t_len, kmodel.dim_cov)
     else:
         zs = jnp.zeros((t_len, 1), jnp.float32)
+    # flatten for SMEM (see kernel note on lane padding)
+    ys = ys.reshape(-1)
+    zs = zs.reshape(-1)
     params = jnp.asarray(params, jnp.float32)
     b = params.shape[0]
     n = num_particles
