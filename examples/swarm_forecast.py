@@ -73,10 +73,15 @@ def main(argv=None):
             km = svol_leverage_kernel_model()
             rows = np.asarray(draws)
             zrows = np.asarray(zs).reshape(-1, 1)
-        n_state = min(args.state_particles // 128 * 128, 1024) or 128
+        if (args.state_particles % 128 != 0
+                or args.state_particles > 1024):
+            p.error("--engine pallas requires --state-particles to be a "
+                    "multiple of 128 and at most 1024 "
+                    f"(got {args.state_particles}); use the generic "
+                    "engine for other sizes")
         ev = megakernel_swarm_evidence(
             km, args.seed + 1, jnp.asarray(rows), ys, zrows,
-            num_particles=n_state)
+            num_particles=args.state_particles)
         lcl = np.asarray(ev["log_cond_like"])
         print(f"total conditional evidence: {lcl.sum():.2f} "
               f"(reference mean-of-logs aggregation: "

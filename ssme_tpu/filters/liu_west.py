@@ -213,9 +213,15 @@ class LiuWestFilter:
             lookahead_anc, self._constrain(shrunk_anc))
         new_log_w = log_num - log_den
 
-        # 3-term conditional-likelihood identity, lw:449-452
-        lcl = (logsumexp(new_log_w) + logsumexp(log_fsw)
-               - 2.0 * logsumexp(state.log_weights))
+        # conditional likelihood with carried incoming weights:
+        #   p(y_t|.) ~= [LSE(fsw) - LSE(w_old)] + [LSE(w_new) - log n]
+        # (first-stage selection outputs n equally-weighted offspring).
+        # The reference's 3-term identity (lw:449-452) uses
+        # -2*LSE(w_old), which equals this ONLY when the previous step
+        # resampled (LSE(w_old) = log n, i.e. rs = 1); this form is
+        # exact for every resampling schedule and identical at rs = 1.
+        lcl = (logsumexp(log_fsw) - logsumexp(state.log_weights)
+               + logsumexp(new_log_w) - jnp.log(float(n)))
 
         exps = self._apply_functionals(new_particles, z, new_untrans,
                                        new_log_w)

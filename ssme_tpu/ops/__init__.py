@@ -11,6 +11,7 @@ from ssme_tpu.ops.svol_filter_kernel import (
 from ssme_tpu.ops.svol_leverage_lw_kernel import (
     svol_leverage_lw_pallas,
     lw_cloud_params,
+    lw_cloud_weights,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "svol_swarm_evidence_pallas",
     "svol_leverage_lw_pallas",
     "lw_cloud_params",
+    "lw_cloud_weights",
 ]

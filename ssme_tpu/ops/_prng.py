@@ -25,7 +25,7 @@ def uniform_bits(shape):
 def normal_bits(shape):
     """Standard normals via Box-Muller (u1 in (0, 1] so log is finite).
 
-    When the lane count is an even multiple of 256, both Box-Muller
+    When the lane count is a multiple of 256, both Box-Muller
     outputs (r cos, r sin) are used — the pair is independent N(0,1) —
     halving the transcendental count per normal (log/sqrt shared, one
     cos + one sin per TWO normals instead of log/sqrt/cos per one).

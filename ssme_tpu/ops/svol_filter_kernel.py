@@ -46,7 +46,7 @@ from ssme_tpu.utils import logmeanexp
 TILE_B = 8
 
 
-def _make_kernel(num_particles: int, num_steps: int, ess_frac: float):
+def _make_kernel(num_particles: int, ess_frac: float):
     n = num_particles
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
@@ -206,7 +206,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     t_pad = ((t_len + 127) // 128) * 128
 
     lcls = pl.pallas_call(
-        _make_kernel(n, t_len, float(ess_threshold)),
+        _make_kernel(n, float(ess_threshold)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
             grid=(b // TILE_B, t_len),
@@ -289,8 +289,11 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
         p = jnp.stack([params[:, 0], params[:, 1],
                        jnp.sqrt(params[:, 2])], axis=-1)     # (C, 3)
         batch = jnp.repeat(p, r, axis=0)                      # (C*R, 3)
-        batch = jnp.concatenate(
-            [batch, jnp.ones((b - b_needed, 3), batch.dtype)], axis=0)
+        # pad with a REAL row: made-up padding (e.g. phi=1) yields NaN
+        # log-weights, and a NaN in any tile row disables that tile's
+        # ESS resampling gate for every real filter sharing it
+        pad = jnp.broadcast_to(p[:1], (b - b_needed, 3))
+        batch = jnp.concatenate([batch, pad], axis=0)
         vals, _, _ = svol_filter_pallas(seed, batch, ys,
                                         num_particles=num_particles,
                                         ess_threshold=ess_threshold)
@@ -317,8 +320,9 @@ def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512):
     m_models = p.shape[0]
     b = ((m_models + TILE_B - 1) // TILE_B) * TILE_B
     batch = jnp.stack([p[:, 0], p[:, 1], jnp.sqrt(p[:, 2])], axis=-1)
+    # pad with a real row (see svol_pallas_batched_log_like note)
     batch = jnp.concatenate(
-        [batch, jnp.ones((b - m_models, 3), batch.dtype)], axis=0)
+        [batch, jnp.broadcast_to(batch[:1], (b - m_models, 3))], axis=0)
     _, lcls, xmeans = svol_filter_pallas(seed, batch, ys,
                                          num_particles=num_particles)
     lcls = lcls[:m_models]                                   # (M, T)

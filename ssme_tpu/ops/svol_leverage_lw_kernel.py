@@ -260,11 +260,16 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             x_new = mean + sd * _normal_bits((1, n))
 
             if variant == "apf":
-                # obs-density ratio + 3-term LSE identity (lw:433,449-452)
+                # obs-density ratio (lw:433); conditional likelihood in
+                # the carried-weight form LSE(fsw) - LSE(w_old) +
+                # LSE(w_new) - log n — equal to the reference's 3-term
+                # identity (lw:449-452) when the previous step resampled
+                # (rs=1), and exact under the ESS-gated schedule too
                 lw_new = _log_g(y, x_new) - _log_g(y, look_anc)
-                lcl_val = (_lse_row(lw_new)[0, 0]
-                           + _lse_row(log_fsw)[0, 0]
-                           - 2.0 * _lse_row(lw)[0, 0])
+                lcl_val = (_lse_row(log_fsw)[0, 0]
+                           - _lse_row(lw)[0, 0]
+                           + _lse_row(lw_new)[0, 0]
+                           - np.log(float(n)))
             else:
                 # q == f for this model, so logF - logQ cancels and the
                 # increment is logG alone (lw:1634-1636); cond-like is
@@ -368,6 +373,12 @@ def lw_cloud_params(cloud):
     """Constrained (phi, mu, sigma, rho) particles from a kernel cloud.
 
     ``cloud``: (F, 8, N) -> (F, N, 4) constrained parameter particles.
+
+    NOTE: with ``resample_every == 1`` (default) the final cloud is
+    uniformly weighted and plain means of these particles are valid.
+    Under ``resample_every > 1`` or ``ess_threshold > 0`` the cloud may
+    carry non-uniform weights — combine with
+    :func:`lw_cloud_weights` for self-normalized summaries.
     """
     th = cloud[:, 2:6, :]
     phi = jax.nn.sigmoid(th[:, 0])
@@ -377,4 +388,18 @@ def lw_cloud_params(cloud):
     return jnp.stack([phi, mu, sigma, rho], axis=-1)
 
 
-__all__ = ["svol_leverage_lw_pallas", "lw_cloud_params", "TILE", "N_PARAM"]
+def lw_cloud_weights(cloud):
+    """Normalized particle weights from a kernel cloud.
+
+    ``cloud``: (F, 8, N) -> (F, N) weights summing to 1 per filter
+    (row 1 of the tile holds the carried log-weights; all-zero right
+    after a resample, in which case these are uniform 1/N).
+    """
+    lw = cloud[:, 1, :]
+    mx = jnp.max(lw, axis=-1, keepdims=True)
+    w = jnp.exp(lw - mx)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+__all__ = ["svol_leverage_lw_pallas", "lw_cloud_params",
+           "lw_cloud_weights", "TILE", "N_PARAM"]
