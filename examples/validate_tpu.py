@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""On-hardware validation harness: cross-checks every Pallas megakernel
+against the generic XLA path (and exact references where they exist) on
+the real TPU, printing one PASS/FAIL line per check.
+
+The CPU test suite (tests/) runs the same statistical gates in interpret
+mode where possible, but interpret-mode PRNG is a stub — this script is
+the hardware ground truth. Run it after kernel changes:
+
+    python examples/validate_tpu.py          # ~3-6 min (cached compiles)
+    python examples/validate_tpu.py --quick  # smaller configs
+
+Checks:
+  1. SVOL megakernel vs XLA bootstrap likelihood (statistical)
+  2. Generic-factory SVOL instance vs hand-written kernel (bit-exact)
+  3. SVOL-leverage factory kernel vs XLA (statistical)
+  4. Factor-SVOL factory kernel vs XLA (statistical; both use the
+     Precision.HIGHEST density path)
+  5. ESS-adaptive (tau=0.5) vs every-step resampling likelihoods agree
+     in mean within joint MC error (unbiasedness)
+  6. LW megakernel APF parity (rs=1) reproduces the LiuWestFilter
+     log-likelihood scale on simulated leverage data
+  7. Linear-Gaussian 2-leaf factory kernel vs exact Kalman filter
+     (within Jensen bias + MC tolerance)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES = []
+
+
+def check(name, ok, detail):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name}: {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    if jax.devices()[0].platform != "tpu":
+        print("ERROR: needs a real TPU (interpret-mode PRNG is a stub); "
+              f"got platform {jax.devices()[0].platform!r}", file=sys.stderr)
+        return 2
+
+    from ssme_tpu.filters import LiuWestFilter, log_likelihood_fn
+    from ssme_tpu.models import factor_svol, svol, svol_leverage
+    from ssme_tpu.ops.filter_megakernel import (
+        KernelModel, factor_svol_kernel_model, filter_megakernel,
+        svol_kernel_model, svol_leverage_kernel_model)
+    from ssme_tpu.ops.svol_filter_kernel import svol_filter_pallas
+    from ssme_tpu.ops.svol_leverage_lw_kernel import svol_leverage_lw_pallas
+
+    T = 120 if args.quick else 300
+    B = 16 if args.quick else 32
+    N = 256 if args.quick else 512
+
+    # ---- 1. SVOL megakernel vs XLA --------------------------------------
+    ys = 0.5 * jax.random.normal(jax.random.key(1), (T,))
+    p_svol = jnp.array([1.0, 0.9, 0.04])          # (beta, phi, ss)
+    rows = jnp.broadcast_to(
+        jnp.array([1.0, 0.9, float(np.sqrt(0.04))]), (B, 3))
+    tot_s, _, _ = svol_filter_pallas(7, rows, ys, num_particles=N)
+    ll = log_likelihood_fn(svol.make_model(), num_particles=N)
+    ref = jax.vmap(lambda k: ll(k, p_svol, ys[:, None]))(
+        jax.random.split(jax.random.key(2), B))
+    gap = abs(float(tot_s.mean()) - float(ref.mean()))
+    tol = 4 * float(ref.std()) / np.sqrt(B) + 0.5
+    check("svol kernel vs xla", gap < tol,
+          f"kernel {float(tot_s.mean()):.2f} xla {float(ref.mean()):.2f} "
+          f"gap {gap:.2f} < tol {tol:.2f}")
+
+    # ---- 2. factory SVOL vs hand-written kernel (same seed: bit-exact) --
+    tot_f, _, _ = filter_megakernel(svol_kernel_model(), 7, rows, ys,
+                                    num_particles=N)
+    bitgap = float(jnp.max(jnp.abs(tot_f - tot_s)))
+    check("factory svol bit-exact", bitgap == 0.0,
+          f"max |factory - specialized| = {bitgap}")
+
+    # ---- 3. leverage factory kernel vs XLA -------------------------------
+    ysl = 0.1 * jax.random.normal(jax.random.key(3), (T,))
+    zsl = jnp.concatenate([jnp.zeros((1,)), ysl[:-1]])
+    p_lev = jnp.array([0.9, 0.0, 0.15, -0.3])
+    rows_l = jnp.broadcast_to(p_lev, (B, 4))
+    tot_l, _, _ = filter_megakernel(svol_leverage_kernel_model(), 11,
+                                    rows_l, ysl, zsl, num_particles=N)
+    ll_l = log_likelihood_fn(svol_leverage.make_model(), num_particles=N)
+    ref_l = jax.vmap(lambda k: ll_l(k, p_lev, ysl[:, None], zsl[:, None]))(
+        jax.random.split(jax.random.key(4), B))
+    gap = abs(float(tot_l.mean()) - float(ref_l.mean()))
+    tol = 4 * float(ref_l.std()) / np.sqrt(B) + 0.5
+    check("leverage kernel vs xla", gap < tol,
+          f"kernel {float(tot_l.mean()):.2f} xla {float(ref_l.mean()):.2f} "
+          f"gap {gap:.2f} < tol {tol:.2f}")
+
+    # ---- 4. factor kernel vs XLA -----------------------------------------
+    na = 4
+    fmodel = factor_svol.make_model(na, 2)
+    p_fac = fmodel.sample_prior(jax.random.key(0))
+    _, ysf = factor_svol.simulate(jax.random.key(1), p_fac, T, na, 2)
+    rows_f = jnp.broadcast_to(p_fac, (B, 6 + 3 * na))
+    tot_fk, _, _ = filter_megakernel(factor_svol_kernel_model(na), 13,
+                                     rows_f, ysf, num_particles=N)
+    ll_f = log_likelihood_fn(fmodel, num_particles=N)
+    ref_f = jax.vmap(lambda k: ll_f(k, p_fac, ysf))(
+        jax.random.split(jax.random.key(5), B))
+    gap = abs(float(tot_fk.mean()) - float(ref_f.mean()))
+    tol = 4 * float(ref_f.std()) / np.sqrt(B) + 0.5
+    check("factor kernel vs xla", gap < tol,
+          f"kernel {float(tot_fk.mean()):.2f} xla {float(ref_f.mean()):.2f} "
+          f"gap {gap:.2f} < tol {tol:.2f}")
+
+    # ---- 5. ESS-adaptive unbiasedness ------------------------------------
+    tot_a, _, _ = svol_filter_pallas(17, rows, ys, num_particles=N,
+                                     ess_threshold=0.5)
+    gap = abs(float(tot_a.mean()) - float(tot_s.mean()))
+    tol = 4 * (float(tot_s.std()) + float(tot_a.std())) / np.sqrt(B) + 0.5
+    check("ess-adaptive unbiased", gap < tol,
+          f"tau=.5 {float(tot_a.mean()):.2f} tau=1 "
+          f"{float(tot_s.mean()):.2f} gap {gap:.2f} < tol {tol:.2f}")
+
+    # ---- 6. LW megakernel vs LiuWestFilter scale -------------------------
+    lw_out = svol_leverage_lw_pallas(19, ysl, num_filters=8,
+                                     num_particles=N, variant="apf")
+    lwf = LiuWestFilter(svol_leverage.make_model(), num_particles=N,
+                        delta=0.99, variant="apf")
+    res = jax.jit(lwf.run)(jax.random.key(6), ysl[:, None], zsl[:, None])
+    kmean = float(lw_out["log_likelihood"].mean())
+    ksd = float(lw_out["log_likelihood"].std())
+    gref = float(res.log_likelihood)
+    # LW is adaptive (parameter cloud shrinks differently per run);
+    # require same scale, not tight statistical agreement
+    tol = 6 * ksd + 10.0
+    check("lw kernel vs generic scale", abs(kmean - gref) < tol,
+          f"kernel {kmean:.1f}+-{ksd:.1f} generic {gref:.1f} tol {tol:.1f}")
+
+    # ---- 7. linear-Gaussian 2-leaf kernel vs exact Kalman ----------------
+    a_coef, obs_sd = 0.7, 0.5
+    half_log_2pi = 0.9189385332046727
+
+    def lg_init(rng, pp, y, z, shape):
+        sd0 = 1.0 / jnp.sqrt(1.0 - a_coef * a_coef)
+        return (rng.normal(shape) * sd0, rng.normal(shape) * sd0)
+
+    def lg_prop(rng, pp, state, y, z):
+        x1, x2 = state
+        return (a_coef * x1 + rng.normal(x1.shape),
+                a_coef * x2 + rng.normal(x2.shape))
+
+    def lg_weight(pp, state, y, z):
+        x1, x2 = state
+        r = (y[0] - (x1 + x2)) / obs_sd
+        return -half_log_2pi - np.log(obs_sd) - 0.5 * r * r
+
+    km_lg = KernelModel(num_params=1, init=lg_init, propagate=lg_prop,
+                        log_weight=lg_weight, num_state=2, name="lg2")
+
+    rng = np.random.default_rng(0)
+    x1 = np.zeros(T); x2 = np.zeros(T)
+    x1[0] = rng.normal() / np.sqrt(1 - a_coef ** 2)
+    x2[0] = rng.normal() / np.sqrt(1 - a_coef ** 2)
+    for t in range(1, T):
+        x1[t] = a_coef * x1[t - 1] + rng.normal()
+        x2[t] = a_coef * x2[t - 1] + rng.normal()
+    ys_lg = x1 + x2 + obs_sd * rng.normal(size=T)
+
+    # exact Kalman
+    P = np.eye(2) / (1 - a_coef * a_coef)
+    mvec = np.zeros(2)
+    H = np.array([1.0, 1.0])
+    R = obs_sd ** 2
+    exact = 0.0
+    for t, yv in enumerate(ys_lg):
+        if t > 0:
+            mvec = a_coef * mvec
+            P = a_coef * a_coef * P + np.eye(2)
+        S = H @ P @ H + R
+        v = yv - H @ mvec
+        exact += -0.5 * np.log(2 * np.pi * S) - 0.5 * v * v / S
+        K = P @ H / S
+        mvec = mvec + K * v
+        P = P - np.outer(K, H @ P)
+
+    tot_lg, _, _ = filter_megakernel(
+        km_lg, 23, jnp.zeros((B, 1), jnp.float32),
+        jnp.asarray(ys_lg, jnp.float32), num_particles=N)
+    v = np.asarray(tot_lg, np.float64)
+    # PF log-evidence is Jensen-biased DOWN by ~var/2 (lognormal approx)
+    jensen = v.var() / 2
+    gap = exact - v.mean()          # expected ~ jensen >= 0
+    tol = jensen + 4 * v.std() / np.sqrt(B) + 0.5
+    check("2-leaf kernel vs kalman", 0 - tol / 2 < gap < tol + 1.0,
+          f"kernel {v.mean():.2f} exact {exact:.2f} gap {gap:.2f} "
+          f"(jensen ~{jensen:.2f}, tol {tol:.2f})")
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} FAILED: {FAILURES}")
+        return 1
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
