@@ -42,6 +42,11 @@ def main(argv=None):
     p.add_argument("--no-timestamp", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="path to write a resumable chain checkpoint")
+    p.add_argument("--engine", choices=["generic", "pallas"],
+                   default="generic",
+                   help="pallas: evaluate ALL chains x replicates per "
+                        "MH iteration in one TPU megakernel launch "
+                        "(ESS-adaptive resampling; ~50x)")
     args = p.parse_args(argv)
 
     from ssme_tpu.inference import AdaptivePMMH
@@ -52,8 +57,23 @@ def main(argv=None):
     print(f"first row of data:\n{float(ys[0, 0])}", file=sys.stderr)
 
     model = svol.make_model()
+    batched_ll = None
+    if args.engine == "pallas":
+        if jax.devices()[0].platform != "tpu":
+            p.error("--engine pallas needs a real TPU")
+        n_parts = args.particles
+        if n_parts % 128 or n_parts > 1024:
+            n_parts = min(max(128, (n_parts + 127) // 128 * 128), 1024)
+            print(f"pallas engine: rounding --particles to {n_parts} "
+                  "(multiple of 128, <= 1024)", file=sys.stderr)
+        args.particles = n_parts
+        from ssme_tpu.ops.svol_filter_kernel import (
+            svol_pallas_batched_log_like)
+        batched_ll = svol_pallas_batched_log_like(n_parts,
+                                                  args.n_pfilters)
     pmmh = AdaptivePMMH(model, num_particles=args.particles,
-                        num_replicates=args.n_pfilters, t0=150, t1=1000)
+                        num_replicates=args.n_pfilters, t0=150, t1=1000,
+                        batched_log_like=batched_ll)
     start = jnp.asarray(svol.START_TRANS_THETA)
 
     ts = not args.no_timestamp
