@@ -74,10 +74,14 @@ class KernelModel:
     dim_obs: int = 1
     dim_cov: int = 0
     functional: Callable = None   # default: first state leaf
+    # APF lookahead (propMu): (p, state, y, z) -> state-shaped tuple of
+    # per-particle lookahead points; required for mode="apf"
+    prop_mu: Callable = None
     name: str = "kernel_model"
 
 
-def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float):
+def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
+                 mode: str = "bootstrap"):
     n = num_particles
     n_leaves = kmodel.num_state
     always = ess_frac >= 1.0
@@ -101,114 +105,175 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float):
         z = tuple(zs_ref[t * kmodel.dim_cov + j]
                   for j in range(kmodel.dim_cov))
 
-        # ---- maybe resample, then propagate (t > 0) --------------------
-        # ESS-gated resampling with proper carried weights (see
-        # svol_filter_kernel.py for the cost rationale and the ratio-form
-        # conditional-likelihood accounting)
-        @pl.when(t > 0)
-        def _():
-            w = jnp.exp(lw_scr[:])                           # (8, n)
+        def select_leaves(w, leaves):
+            """Systematic ancestor selection of every (8, n) leaf by the
+            per-row weights ``w``, gather-free: weight CDF as one MXU
+            matmul with the lower-triangular ones matrix; per row, a
+            one-hot selection matrix applied as a matmul (leaf columns
+            stacked so one matmul selects ALL leaves with the same
+            ancestors — liu_west_filter.h:90-145 joint-gather
+            semantics).  The exclusive CDF is the SAME rounded values
+            rolled one lane so the intervals partition exactly."""
+            n_l = len(leaves)
+            cdf = jax.lax.dot_general(
+                w, lt_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            total = cdf[:, n - 1:n]                          # (8, 1)
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n), 1)
+            cdf_ex = jnp.where(lane0 == 0, 0.0,
+                               pltpu.roll(cdf, shift=1, axis=1))
+            u0 = _prng.uniform_bits((TILE_B, 1))             # (8, 1)
+            xt = jnp.concatenate(
+                [jnp.transpose(leaf) for leaf in leaves],
+                axis=1)                                      # (n, 8L)
+            cols = [[] for _ in range(n_l)]
+            for row in range(TILE_B):
+                jcol = jax.lax.broadcasted_iota(
+                    jnp.int32, (n, 1), 0).astype(jnp.float32)
+                u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
+                cdf_row = cdf[row:row + 1, :]
+                cdfx_row = cdf_ex[row:row + 1, :]
+                sel = jnp.where(
+                    (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
+                picked = jax.lax.dot_general(
+                    sel, xt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (n, 8L)
+                for leaf in range(n_l):
+                    cols[leaf].append(
+                        picked[:, leaf * TILE_B + row:
+                               leaf * TILE_B + row + 1])
+            return [jnp.transpose(jnp.concatenate(cols[leaf], axis=1))
+                    for leaf in range(n_l)]
 
-            def resample():
-                # inclusive prefix sum along lanes on the MXU
-                # (cdf = w @ LT); exclusive CDF = the SAME rounded values
-                # rolled one lane so the intervals partition exactly
-                cdf = jax.lax.dot_general(
-                    w, lt_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                total = cdf[:, n - 1:n]                      # (8, 1)
-                lane0 = jax.lax.broadcasted_iota(
-                    jnp.int32, (TILE_B, n), 1)
-                cdf_ex = jnp.where(lane0 == 0, 0.0,
-                                   pltpu.roll(cdf, shift=1, axis=1))
-                u0 = _prng.uniform_bits((TILE_B, 1))         # (8, 1)
+        def stage_outputs(lcl, fmean):
+            # stage into the revisited (8, 128) output block (flushed to
+            # HBM once per 128 steps); masked full-block write, zeroed
+            # at col 0
+            col = jax.lax.rem(t, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
+            base = jnp.where(col == 0, jnp.zeros_like(out_ref),
+                             out_ref[:])
+            out_ref[:] = jnp.where(lane == col, lcl, base)
+            base_f = jnp.where(col == 0, jnp.zeros_like(fmean_ref),
+                               fmean_ref[:])
+            fmean_ref[:] = jnp.where(lane == col, fmean, base_f)
 
-                # joint gather-free selection over ALL state leaves:
-                # stack leaf columns side by side so one selection
-                # matmul per row resamples every leaf with the same
-                # ancestors (liu_west_filter.h:90-145 joint-gather
-                # semantics)
-                xt = jnp.concatenate(
-                    [jnp.transpose(s[:]) for s in state_scr],
-                    axis=1)                                  # (n, 8L)
-                cols = [[] for _ in range(n_leaves)]
-                for row in range(TILE_B):
-                    jcol = jax.lax.broadcasted_iota(
-                        jnp.int32, (n, 1), 0).astype(jnp.float32)
-                    u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
-                    cdf_row = cdf[row:row + 1, :]
-                    cdfx_row = cdf_ex[row:row + 1, :]
-                    sel = jnp.where(
-                        (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
-                    picked = jax.lax.dot_general(
-                        sel, xt, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (n, 8L)
-                    for leaf in range(n_leaves):
-                        cols[leaf].append(
-                            picked[:, leaf * TILE_B + row:
-                                   leaf * TILE_B + row + 1])
-                for leaf in range(n_leaves):
-                    state_scr[leaf][:] = jnp.transpose(
-                        jnp.concatenate(cols[leaf], axis=1))
-                lw_scr[:] = jnp.zeros_like(lw_scr)
-                carry_scr[:] = jnp.full_like(carry_scr, log_n)
+        fn = kmodel.functional or (lambda p_, st: st[0])
 
-            if always:
-                resample()
-            else:
-                s1 = jnp.sum(w, axis=-1, keepdims=True)
-                s2 = jnp.sum(w * w, axis=-1, keepdims=True)
-                pl.when(jnp.min(s1 * s1 / s2) < ess_frac * n)(resample)
+        def weight_and_stage(extra_lcl):
+            """Shared tail: add this step's log_g to the carried
+            weights, emit the ratio-form conditional log-likelihood
+            (+ any mode-specific extra term), renormalize the carry."""
+            cur_state = tuple(s[:] for s in state_scr)
+            lw = lw_scr[:] + kmodel.log_weight(p, cur_state, y, z)
+            m = jnp.max(lw, axis=-1, keepdims=True)
+            wnorm = jnp.exp(lw - m)
+            s = jnp.sum(wnorm, axis=-1, keepdims=True)
+            lcl = (m + jnp.log(s)) - carry_scr[:, 0:1] + extra_lcl
+            lw_scr[:] = lw - m
+            carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
+            h = fn(p, cur_state)
+            fmean = (jnp.sum(h * wnorm, axis=-1, keepdims=True)
+                     / s)                                    # (8, 1)
+            stage_outputs(lcl, fmean)
 
-            cur = tuple(s[:] for s in state_scr)
-            new_state = kmodel.propagate(_Rng, p, cur, y, z)
-            for leaf in range(n_leaves):
-                state_scr[leaf][:] = new_state[leaf]
-
-        # ---- init (t == 0) ---------------------------------------------
-        @pl.when(t == 0)
-        def _():
+        def init_t0():
             st0 = kmodel.init(_Rng, p, y, z, (TILE_B, n))
             for leaf in range(n_leaves):
                 state_scr[leaf][:] = st0[leaf]
             lw_scr[:] = jnp.zeros_like(lw_scr)
             carry_scr[:] = jnp.full_like(carry_scr, log_n)
 
-        # ---- weight ------------------------------------------------------
-        cur_state = tuple(s[:] for s in state_scr)
-        lw = lw_scr[:] + kmodel.log_weight(p, cur_state, y, z)
+        if mode == "bootstrap":
+            # ---- maybe resample, then propagate (t > 0) ----------------
+            # ESS-gated resampling with proper carried weights (see
+            # svol_filter_kernel.py for the cost rationale and the
+            # ratio-form conditional-likelihood accounting)
+            @pl.when(t > 0)
+            def _():
+                w = jnp.exp(lw_scr[:])                       # (8, n)
 
-        # ---- per-step conditional log-like (ratio form) -----------------
-        m = jnp.max(lw, axis=-1, keepdims=True)
-        wnorm = jnp.exp(lw - m)
-        s = jnp.sum(wnorm, axis=-1, keepdims=True)
-        lcl = (m + jnp.log(s)) - carry_scr[:, 0:1]           # (8, 1)
-        lw_scr[:] = lw - m
-        carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
+                def resample():
+                    picked = select_leaves(
+                        w, [s[:] for s in state_scr])
+                    for leaf in range(n_leaves):
+                        state_scr[leaf][:] = picked[leaf]
+                    lw_scr[:] = jnp.zeros_like(lw_scr)
+                    carry_scr[:] = jnp.full_like(carry_scr, log_n)
 
-        fn = kmodel.functional or (lambda p_, st: st[0])
-        h = fn(p, cur_state)
-        fmean = jnp.sum(h * wnorm, axis=-1, keepdims=True) / s   # (8, 1)
+                if always:
+                    resample()
+                else:
+                    s1 = jnp.sum(w, axis=-1, keepdims=True)
+                    s2 = jnp.sum(w * w, axis=-1, keepdims=True)
+                    pl.when(jnp.min(s1 * s1 / s2) < ess_frac * n)(
+                        resample)
 
-        # stage into the revisited (8, 128) output block (flushed to HBM
-        # once per 128 steps); masked full-block write, zeroed at col 0
-        col = jax.lax.rem(t, 128)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
-        base = jnp.where(col == 0, jnp.zeros_like(out_ref), out_ref[:])
-        out_ref[:] = jnp.where(lane == col, lcl, base)
-        base_f = jnp.where(col == 0, jnp.zeros_like(fmean_ref),
-                           fmean_ref[:])
-        fmean_ref[:] = jnp.where(lane == col, fmean, base_f)
+                cur = tuple(s[:] for s in state_scr)
+                new_state = kmodel.propagate(_Rng, p, cur, y, z)
+                for leaf in range(n_leaves):
+                    state_scr[leaf][:] = new_state[leaf]
+
+            @pl.when(t == 0)
+            def _():
+                init_t0()
+
+            weight_and_stage(jnp.zeros((TILE_B, 1), jnp.float32))
+
+        else:  # mode == "apf" (Pitt-Shephard auxiliary PF)
+            @pl.when(t > 0)
+            def _():
+                # first-stage lookahead weights fsw = lw + logG(look);
+                # select ancestors of (state, look) jointly; propagate;
+                # second-stage weights = logG(new) - logG(look_anc).
+                # Conditional likelihood with carried weights:
+                #   [LSE(fsw) - LSE(lw)] + [LSE(w_new) - log n]
+                # (cf. liu_west_filter.h:449-452 corrected for carry)
+                cur = tuple(s[:] for s in state_scr)
+                look = kmodel.prop_mu(p, cur, y, z)
+                lg_look = kmodel.log_weight(p, look, y, z)
+                fsw = lw_scr[:] + lg_look
+                m_fs = jnp.max(fsw, axis=-1, keepdims=True)
+                w_fs = jnp.exp(fsw - m_fs)
+                s_fs = jnp.sum(w_fs, axis=-1, keepdims=True)
+
+                picked = select_leaves(w_fs, list(cur) + list(look))
+                state_sel = tuple(picked[:n_leaves])
+                look_sel = tuple(picked[n_leaves:])
+
+                new_state = kmodel.propagate(_Rng, p, state_sel, y, z)
+                for leaf in range(n_leaves):
+                    state_scr[leaf][:] = new_state[leaf]
+                lg_new = kmodel.log_weight(p, new_state, y, z)
+                lw_new = lg_new - kmodel.log_weight(p, look_sel, y, z)
+
+                m2 = jnp.max(lw_new, axis=-1, keepdims=True)
+                w2 = jnp.exp(lw_new - m2)
+                s2 = jnp.sum(w2, axis=-1, keepdims=True)
+                lcl = ((m_fs + jnp.log(s_fs)) - carry_scr[:, 0:1]
+                       + (m2 + jnp.log(s2)) - log_n)
+                lw_scr[:] = lw_new - m2
+                carry_scr[:] = jnp.broadcast_to(jnp.log(s2),
+                                                carry_scr.shape)
+                h = fn(p, tuple(s[:] for s in state_scr))
+                fmean = jnp.sum(h * w2, axis=-1, keepdims=True) / s2
+                stage_outputs(lcl, fmean)
+
+            @pl.when(t == 0)
+            def _():
+                init_t0()
+                weight_and_stage(jnp.zeros((TILE_B, 1), jnp.float32))
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("kmodel", "num_particles",
-                                             "interpret", "ess_threshold"))
+                                             "interpret", "ess_threshold",
+                                             "mode"))
 def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                       num_particles: int = 512, interpret: bool = False,
-                      ess_threshold: float = 1.0):
-    """Run B whole-sequence bootstrap filters in one ``pallas_call``.
+                      ess_threshold: float = 1.0, mode: str = "bootstrap"):
+    """Run B whole-sequence particle filters in one ``pallas_call``.
 
     seed: int32 scalar; params: (B, num_params) constrained rows;
     ys: (T,) or (T, dim_obs); zs: (T, dim_cov) covariates (or None).
@@ -217,6 +282,11 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     ess_threshold: resample when the tile's worst-row ESS falls below
     this fraction of n (1.0 = every step; 0.5 = standard adaptive
     schedule, ~3x faster, evidence estimator stays unbiased).
+
+    mode: "bootstrap" (propagate through the transition, weight by the
+    observation density) or "apf" (Pitt-Shephard auxiliary PF: requires
+    the model's ``prop_mu`` hook; first-stage lookahead selection every
+    step; ``ess_threshold`` is ignored).
     """
     ys = jnp.asarray(ys, jnp.float32).reshape(-1, kmodel.dim_obs)
     t_len = ys.shape[0]
@@ -244,13 +314,19 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             "axis (parallel.sharded_pf) for larger clouds.")
     if params.shape[1] != kmodel.num_params:
         raise ValueError(f"params rows must have {kmodel.num_params} cols")
+    if mode not in ("bootstrap", "apf"):
+        raise ValueError("mode must be 'bootstrap' or 'apf'")
+    if mode == "apf" and kmodel.prop_mu is None:
+        raise ValueError(
+            f"model {kmodel.name!r} has no prop_mu hook (required for "
+            "the auxiliary-PF mode)")
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
     t_pad = ((t_len + 127) // 128) * 128
 
     outs = pl.pallas_call(
-        _make_kernel(kmodel, n, float(ess_threshold)),
+        _make_kernel(kmodel, n, float(ess_threshold), mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(b // TILE_B, t_len),
@@ -368,8 +444,14 @@ def svol_kernel_model() -> KernelModel:
         return ((-_prng.HALF_LOG_2PI - jnp.log(beta))
                 - 0.5 * x - 0.5 * zval * zval)
 
+    def prop_mu(p, state, y, z):
+        # APF lookahead = transition conditional mean
+        (x,) = state
+        return (p[:, 1:2] * x,)
+
     return KernelModel(num_params=3, init=init, propagate=propagate,
-                       log_weight=log_weight, name="svol")
+                       log_weight=log_weight, prop_mu=prop_mu,
+                       name="svol")
 
 
 def svol_leverage_kernel_model() -> KernelModel:
@@ -396,8 +478,16 @@ def svol_leverage_kernel_model() -> KernelModel:
         zval = y[0] * jnp.exp(-0.5 * x)
         return -_prng.HALF_LOG_2PI - 0.5 * x - 0.5 * zval * zval
 
+    def prop_mu(p, state, y, z):
+        # APF lookahead = transition conditional mean
+        # (test_liu_west.cpp:92-99)
+        phi, mu, sigma, rho = (p[:, 0:1], p[:, 1:2], p[:, 2:3], p[:, 3:4])
+        (x,) = state
+        return (mu + phi * (x - mu)
+                + z[0] * rho * sigma * jnp.exp(-0.5 * x),)
+
     return KernelModel(num_params=4, init=init, propagate=propagate,
-                       log_weight=log_weight, dim_cov=1,
+                       log_weight=log_weight, prop_mu=prop_mu, dim_cov=1,
                        name="svol_leverage")
 
 

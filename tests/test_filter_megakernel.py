@@ -207,3 +207,38 @@ def test_factor_svol_kernel_matches_xla_statistically():
         jax.random.split(jax.random.key(2), B))
     se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
     assert abs(float(tot.mean()) - float(ref.mean())) < se
+
+
+def test_apf_mode_interpret():
+    km = svol_kernel_model()
+    params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
+    ys = 0.3 * jnp.ones(16)
+    total, lcls, _ = filter_megakernel(km, 3, params, ys,
+                                       num_particles=128, interpret=True,
+                                       mode="apf")
+    assert total.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(total)))
+    # apf mode without a prop_mu hook must error
+    km_np = KernelModel(num_params=3, init=km.init,
+                        propagate=km.propagate, log_weight=km.log_weight)
+    with pytest.raises(ValueError):
+        filter_megakernel(km_np, 3, params, ys, num_particles=128,
+                          interpret=True, mode="apf")
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_apf_mode_matches_xla_auxiliary():
+    from ssme_tpu.filters import AuxiliaryParticleFilter
+    from ssme_tpu.models import svol
+
+    T, B = 200, 32
+    ys = 0.5 * jax.random.normal(jax.random.key(1), (T,))
+    p_ref = jnp.array([1.0, 0.9, 0.04])
+    rows = jnp.broadcast_to(jnp.array([1.0, 0.9, 0.2]), (B, 3))
+    tot, _, _ = filter_megakernel(svol_kernel_model(), 7, rows, ys,
+                                  num_particles=512, mode="apf")
+    apf = AuxiliaryParticleFilter(svol.make_model(), num_particles=512)
+    ref = jax.vmap(lambda k: apf.run(k, p_ref, ys[:, None]).log_likelihood)(
+        jax.random.split(jax.random.key(2), B))
+    se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
+    assert abs(float(tot.mean()) - float(ref.mean())) < se
