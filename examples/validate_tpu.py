@@ -22,6 +22,7 @@ Checks:
      log-likelihood scale on simulated leverage data
   7. Linear-Gaussian 2-leaf factory kernel vs exact Kalman filter
      (within Jensen bias + MC tolerance)
+  8. Factory APF mode vs the XLA AuxiliaryParticleFilter (statistical)
 """
 
 import argparse
@@ -210,6 +211,20 @@ def main(argv=None):
     check("2-leaf kernel vs kalman", 0 - tol / 2 < gap < tol + 1.0,
           f"kernel {v.mean():.2f} exact {exact:.2f} gap {gap:.2f} "
           f"(jensen ~{jensen:.2f}, tol {tol:.2f})")
+
+    # ---- 8. factory APF mode vs XLA auxiliary filter ---------------------
+    from ssme_tpu.filters import AuxiliaryParticleFilter
+    tot_apf, _, _ = filter_megakernel(svol_kernel_model(), 29, rows, ys,
+                                      num_particles=N, mode="apf")
+    apf = AuxiliaryParticleFilter(svol.make_model(), num_particles=N)
+    ref_apf = jax.vmap(
+        lambda k: apf.run(k, p_svol, ys[:, None]).log_likelihood)(
+        jax.random.split(jax.random.key(7), B))
+    gap = abs(float(tot_apf.mean()) - float(ref_apf.mean()))
+    tol = 4 * float(ref_apf.std()) / np.sqrt(B) + 0.5
+    check("apf kernel vs xla", gap < tol,
+          f"kernel {float(tot_apf.mean()):.2f} xla "
+          f"{float(ref_apf.mean()):.2f} gap {gap:.2f} < tol {tol:.2f}")
 
     print()
     if FAILURES:

@@ -3,6 +3,8 @@ from ssme_tpu.models import svol
 from ssme_tpu.models import svol_leverage
 from ssme_tpu.models import lgssm
 from ssme_tpu.models import factor_svol
+from ssme_tpu.models import poisson_ar
 
 __all__ = ["StateSpaceModel", "svol", "svol_leverage", "lgssm",
+           "poisson_ar",
            "factor_svol"]

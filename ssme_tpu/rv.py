@@ -130,6 +130,13 @@ def mvn_logpdf(x, mean, cov=None, chol=None):
 # categorical / index sampling from log-weights
 # ---------------------------------------------------------------------------
 
+def poisson_logpmf(k, log_rate):
+    """log Poisson(k; rate = e^{log_rate}), rate given in log space so
+    count models can pass the latent log-intensity directly."""
+    k = jnp.asarray(k, jnp.float32)
+    return k * log_rate - jnp.exp(log_rate) - gammaln(k + 1.0)
+
+
 def categorical_from_log_weights(key, log_weights, shape=None):
     """Sample indices proportional to ``exp(log_weights)`` (Gumbel-free,
     underflow-safe): the TPU analog of ``rvsamp::k_gen::sample(logWts)``
@@ -145,6 +152,7 @@ def categorical_from_log_weights(key, log_weights, shape=None):
 
 
 __all__ = [
+    "poisson_logpmf",
     "norm_logpdf", "uniform_logpdf", "invgamma_logpdf", "halfnorm_logpdf",
     "beta_logpdf", "twice_fisher", "chol_with_jitter", "mvn_sample",
     "mvn_logpdf", "categorical_from_log_weights",
