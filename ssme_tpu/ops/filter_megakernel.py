@@ -572,7 +572,51 @@ def factor_svol_kernel_model(n_assets: int = 5) -> KernelModel:
                        name=f"factor_svol_{na}x2")
 
 
+def poisson_ar_kernel_model() -> KernelModel:
+    """Poisson AR(1) count model (``models/poisson_ar.py``) as a kernel
+    model; parameter rows (phi, mu, sigma).
+
+    The Poisson log-pmf needs log(y!) = gammaln(y+1), which has no
+    in-kernel primitive — but it depends only on the DATA, so it is
+    precomputed on the host and streamed as a second observation
+    column: pass ``ys`` rows ``[y, gammaln(y+1)]`` (dim_obs=2), e.g.
+    via :func:`poisson_obs_rows`.
+    """
+
+    def init(rng, p, y, z, shape):
+        phi, mu, sigma = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+        sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+        return (mu + rng.normal(shape) * sd0,)
+
+    def propagate(rng, p, state, y, z):
+        phi, mu, sigma = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+        (x,) = state
+        return (mu + phi * (x - mu) + sigma * rng.normal(x.shape),)
+
+    def prop_mu(p, state, y, z):
+        phi, mu = p[:, 0:1], p[:, 1:2]
+        (x,) = state
+        return (mu + phi * (x - mu),)
+
+    def log_weight(p, state, y, z):
+        (x,) = state
+        # y[0] = count, y[1] = gammaln(count + 1) (host-precomputed)
+        return y[0] * x - jnp.exp(x) - y[1]
+
+    return KernelModel(num_params=3, init=init, propagate=propagate,
+                       log_weight=log_weight, prop_mu=prop_mu,
+                       dim_obs=2, name="poisson_ar")
+
+
+def poisson_obs_rows(counts):
+    """(T,) counts -> (T, 2) kernel observation rows
+    ``[y, gammaln(y+1)]`` for :func:`poisson_ar_kernel_model`."""
+    from jax.scipy.special import gammaln
+    y = jnp.asarray(counts, jnp.float32).reshape(-1)
+    return jnp.stack([y, gammaln(y + 1.0)], axis=-1)
+
+
 __all__ = ["KernelModel", "filter_megakernel", "megakernel_log_like",
            "megakernel_swarm_evidence", "svol_kernel_model",
            "svol_leverage_kernel_model", "factor_svol_kernel_model",
-           "TILE_B"]
+           "poisson_ar_kernel_model", "poisson_obs_rows", "TILE_B"]

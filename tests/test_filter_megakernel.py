@@ -242,3 +242,59 @@ def test_apf_mode_matches_xla_auxiliary():
         jax.random.split(jax.random.key(2), B))
     se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
     assert abs(float(tot.mean()) - float(ref.mean())) < se
+
+
+def test_poisson_kernel_log_weight_matches_model():
+    from ssme_tpu.models import poisson_ar
+    from ssme_tpu.ops.filter_megakernel import (poisson_ar_kernel_model,
+                                                poisson_obs_rows)
+
+    km = poisson_ar_kernel_model()
+    x = jax.random.normal(jax.random.key(1), (8, 16))
+    counts = jnp.array([4.0])
+    row = poisson_obs_rows(counts)[0]
+    lw = km.log_weight(None, (x,), tuple(row), ())
+
+    def ref_one(xs):
+        return poisson_ar.log_g(None, counts, xs[None], None)
+
+    ref = jax.vmap(jax.vmap(lambda v: ref_one(v)))(x)
+    np.testing.assert_allclose(np.asarray(lw), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_poisson_kernel_interpret():
+    from ssme_tpu.models import poisson_ar
+    from ssme_tpu.ops.filter_megakernel import (poisson_ar_kernel_model,
+                                                poisson_obs_rows)
+
+    km = poisson_ar_kernel_model()
+    params = jnp.tile(jnp.array([[0.9, 1.0, 0.3]]), (8, 1))
+    _, ys = poisson_ar.simulate(jax.random.key(0), jnp.array([0.9, 1.0, 0.3]), 12)
+    rows = poisson_obs_rows(ys[:, 0])
+    for mode in ("bootstrap", "apf"):
+        total, lcls, _ = filter_megakernel(km, 5, params, rows,
+                                           num_particles=128,
+                                           interpret=True, mode=mode)
+        assert np.all(np.isfinite(np.asarray(total))), mode
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_poisson_kernel_matches_xla_statistically():
+    from ssme_tpu.filters import log_likelihood_fn
+    from ssme_tpu.models import poisson_ar
+    from ssme_tpu.ops.filter_megakernel import (poisson_ar_kernel_model,
+                                                poisson_obs_rows)
+
+    B = 32
+    p = jnp.array([0.9, 1.0, 0.3])
+    _, ys = poisson_ar.simulate(jax.random.key(0), p, 200)
+    rows = poisson_obs_rows(ys[:, 0])
+    batch = jnp.broadcast_to(p, (B, 3))
+    tot, _, _ = filter_megakernel(poisson_ar_kernel_model(), 7, batch,
+                                  rows, num_particles=512)
+    ll = log_likelihood_fn(poisson_ar.make_model(), num_particles=512)
+    ref = jax.vmap(lambda k: ll(k, p, ys))(
+        jax.random.split(jax.random.key(2), B))
+    se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
+    assert abs(float(tot.mean()) - float(ref.mean())) < se
