@@ -34,8 +34,11 @@ def _measure(impl, num_particles, num_replicates, num_chains, num_iters, ys):
     if impl == "pallas" and jax.devices()[0].platform == "tpu":
         from ssme_tpu.ops.svol_filter_kernel import (
             svol_pallas_batched_log_like)
-        batched_ll = svol_pallas_batched_log_like(num_particles,
-                                                  num_replicates)
+        # BENCH_ESS: resampling gate (0.5 = adaptive default; 1.0 =
+        # every-step, the reference's exact schedule)
+        ess_threshold = float(os.environ.get("BENCH_ESS", 0.5))
+        batched_ll = svol_pallas_batched_log_like(
+            num_particles, num_replicates, ess_threshold=ess_threshold)
     pmmh = AdaptivePMMH(model, num_particles=num_particles,
                         num_replicates=num_replicates, t0=150, t1=1000,
                         batched_log_like=batched_ll)

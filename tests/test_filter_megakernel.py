@@ -298,3 +298,39 @@ def test_poisson_kernel_matches_xla_statistically():
         jax.random.split(jax.random.key(2), B))
     se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
     assert abs(float(tot.mean()) - float(ref.mean())) < se
+
+
+def test_kernel_systematic_resampling_law():
+    """Direct law check of the in-kernel selection: with identity
+    propagation and weights only at t=0, the t=1 cloud mean must equal
+    the weighted mean of the t=0 cloud within the systematic-resampling
+    deterministic bound (each offspring count is within 1 of N*w). Valid
+    for ANY u0, so it holds under the interpret-mode PRNG stub too."""
+    n = 256
+
+    def init(rng, p, y, z, shape):
+        # deterministic cloud: x_i = i / n in [0, 1)
+        return (jax.lax.broadcasted_iota(
+            jnp.float32, shape, 1) / float(n),)
+
+    def propagate(rng, p, state, y, z):
+        return state  # identity
+
+    def log_weight(p, state, y, z):
+        (x,) = state
+        # t=0 (y=1): geometric weights in the lane value; t=1 (y=0): flat
+        return jnp.where(y[0] > 0.5, 3.0 * x, jnp.zeros_like(x))
+
+    km = KernelModel(num_params=1, init=init, propagate=propagate,
+                     log_weight=log_weight, name="law")
+    ys = jnp.array([1.0, 0.0])
+    params = jnp.zeros((8, 1), jnp.float32)
+    _, _, fmeans = filter_megakernel(km, 9, params, ys,
+                                     num_particles=n, interpret=True)
+    # expected: sum_i w_i x_i with w ~ exp(3 x), x = i/n
+    x = np.arange(n) / n
+    w = np.exp(3.0 * x)
+    w /= w.sum()
+    expected = float((w * x).sum())
+    got = np.asarray(fmeans)[:, 1]
+    assert np.all(np.abs(got - expected) < 2.0 / n), (got, expected)
