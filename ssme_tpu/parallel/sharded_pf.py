@@ -79,9 +79,19 @@ def sharded_systematic_ancestors(key, log_w_local, axis_name):
     return searchsorted_cdf(cdf_global, grid)
 
 
+def global_ess(log_w_local, axis_name):
+    """Global effective sample size (sum w)^2 / sum w^2 across shards."""
+    mx = jax.lax.pmax(jnp.max(log_w_local), axis_name)
+    w = jnp.exp(log_w_local - mx)
+    s1 = jax.lax.psum(jnp.sum(w), axis_name)
+    s2 = jax.lax.psum(jnp.sum(w * w), axis_name)
+    return s1 * s1 / s2
+
+
 def sharded_log_likelihood_fn(model: StateSpaceModel, num_particles: int,
                               axis_name: str = "particle",
-                              resample_every: int = 1):
+                              resample_every: int = 1,
+                              ess_threshold: float = 0.0):
     """Bootstrap-filter log-likelihood with the particle axis sharded.
 
     Returns ``ll(key, params, ys[, zs]) -> scalar`` that MUST be called
@@ -89,6 +99,10 @@ def sharded_log_likelihood_fn(model: StateSpaceModel, num_particles: int,
     arguments (data replicated) and receives the identical global
     log-likelihood (a ``psum``-closed value).  Semantics match the
     unsharded :func:`ssme_tpu.filters.log_likelihood_fn`.
+
+    ``ess_threshold > 0`` switches to ESS-adaptive resampling (fire when
+    the GLOBAL ESS drops below that fraction of num_particles — matching
+    the megakernels' gate, with the ESS reduced by collectives).
     """
     m = model
     m.require("sample_q1", "log_q1", "log_mu", "log_g", "sample_f")
@@ -124,9 +138,13 @@ def sharded_log_likelihood_fn(model: StateSpaceModel, num_particles: int,
             new_log_w = jnp.where(do_rs, jnp.zeros_like(log_w), log_w)
             return new_particles, new_log_w
 
+        if ess_threshold > 0.0:
+            do0 = (global_ess(log_w, axis_name)
+                   < ess_threshold * num_particles)
+        else:
+            do0 = jnp.asarray(resample_every == 1)
         particles, log_w = resample(
-            jax.random.fold_in(k_init, 12345), particles, log_w,
-            jnp.asarray(resample_every == 1))
+            jax.random.fold_in(k_init, 12345), particles, log_w, do0)
 
         ts = jnp.arange(1, ys_arr.shape[0])
         xs = (ts, ys_arr[1:], zs[1:]) if m.has_covariates else (ts, ys_arr[1:])
@@ -139,7 +157,11 @@ def sharded_log_likelihood_fn(model: StateSpaceModel, num_particles: int,
                 t, y = inp
                 z = None
             key, k_res, k_prop = jax.random.split(key, 3)
-            do_rs = (t % resample_every) == 0
+            if ess_threshold > 0.0:
+                do_rs = (global_ess(log_w, axis_name)
+                         < ess_threshold * num_particles)
+            else:
+                do_rs = (t % resample_every) == 0
             particles, log_w = resample(k_res, particles, log_w, do_rs)
             old_lse = global_logsumexp(log_w, axis_name)
             pkeys = jax.random.split(jax.random.fold_in(k_prop, me), n_local)
@@ -158,7 +180,8 @@ def sharded_log_likelihood_fn(model: StateSpaceModel, num_particles: int,
 
 def make_sharded_ll_callable(model, num_particles, mesh,
                              axis_name: str = "particle",
-                             resample_every: int = 1):
+                             resample_every: int = 1,
+                             ess_threshold: float = 0.0):
     """Wrap the sharded likelihood in its own ``shard_map`` so it can be
     called from un-sharded code: ``f(key, params, ys)`` or — for
     covariate models — ``f(key, params, ys, zs)``; returns a scalar.
@@ -166,7 +189,7 @@ def make_sharded_ll_callable(model, num_particles, mesh,
     from jax import shard_map
 
     inner = sharded_log_likelihood_fn(model, num_particles, axis_name,
-                                      resample_every)
+                                      resample_every, ess_threshold)
 
     if model.has_covariates:
         return shard_map(
@@ -180,6 +203,6 @@ def make_sharded_ll_callable(model, num_particles, mesh,
 
 
 __all__ = [
-    "global_logsumexp", "sharded_systematic_ancestors",
+    "global_logsumexp", "global_ess", "sharded_systematic_ancestors",
     "sharded_log_likelihood_fn", "make_sharded_ll_callable",
 ]

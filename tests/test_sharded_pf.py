@@ -87,3 +87,32 @@ def test_sharded_ll_identical_across_shard_counts_in_expectation():
         vals = [float(f(jax.random.key(10 + i), params, jnp.asarray(ys)))
                 for i in range(4)]
         assert abs(np.mean(vals) - exact) < 2.0, (shards, vals, exact)
+
+
+def test_sharded_ess_adaptive_matches_every_step():
+    """ESS-gated sharded likelihood agrees with the every-step schedule
+    in expectation (both unbiased for the same evidence)."""
+    from ssme_tpu import parallel
+    from ssme_tpu.parallel.sharded_pf import make_sharded_ll_callable
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = parallel.make_mesh(1, 8)
+    model = lgssm.make_model()
+    params = jnp.array([0.8, 0.5, 0.3])
+    _, ys = lgssm.simulate(jax.random.key(0), params, 40)
+    ys = jnp.asarray(ys)
+
+    f_every = make_sharded_ll_callable(model, 128, mesh)
+    f_ess = make_sharded_ll_callable(model, 128, mesh, ess_threshold=0.5)
+    keys = jax.random.split(jax.random.key(1), 24)
+    ll_e = jnp.stack([f_every(k, params, ys) for k in keys[:12]])
+    ll_a = jnp.stack([f_ess(k, params, ys) for k in keys[12:]])
+    assert np.all(np.isfinite(np.asarray(ll_e)))
+    assert np.all(np.isfinite(np.asarray(ll_a)))
+    se = (float(ll_e.std()) + float(ll_a.std())) / np.sqrt(12) * 4 + 0.5
+    assert abs(float(ll_e.mean()) - float(ll_a.mean())) < se
+
+    # and both match the exact Kalman likelihood within MC error
+    exact = float(jnp.sum(lgssm.kalman_filter(params, ys)[0]))
+    assert abs(float(ll_a.mean()) - exact) < 4 * float(ll_a.std()) + 1.0
