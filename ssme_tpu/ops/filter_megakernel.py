@@ -81,9 +81,10 @@ class KernelModel:
 
 
 def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
-                 mode: str = "bootstrap"):
+                 mode: str = "bootstrap", steps_per_cell: int = 1):
     n = num_particles
     n_leaves = kmodel.num_state
+    k_steps = steps_per_cell
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
 
@@ -93,17 +94,20 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
         lw_scr = scratch[n_leaves]      # carried max-normalized log-wts
         carry_scr = scratch[n_leaves + 1]   # LSE(lw_scr) in every lane
         b = pl.program_id(0)
-        t = pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] + b * 1000003, t)
+        tc = pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0] + b * 1000003, tc)
 
         p = params_ref[:]                                    # (8, P)
-        # ys/zs are flattened row-major to 1-D for SMEM prefetch: a 2-D
-        # SMEM operand is lane-padded to 128 columns (T x 128 x 4B blows
-        # the 1MB SMEM budget for long series)
-        y = tuple(ys_ref[t * kmodel.dim_obs + j]
-                  for j in range(kmodel.dim_obs))
-        z = tuple(zs_ref[t * kmodel.dim_cov + j]
-                  for j in range(kmodel.dim_cov))
+
+        def obs_at(t):
+            # ys/zs are flattened row-major to 1-D for SMEM prefetch: a
+            # 2-D SMEM operand is lane-padded to 128 columns (T x 128 x
+            # 4B blows the 1MB SMEM budget for long series)
+            y = tuple(ys_ref[t * kmodel.dim_obs + j]
+                      for j in range(kmodel.dim_obs))
+            z = tuple(zs_ref[t * kmodel.dim_cov + j]
+                      for j in range(kmodel.dim_cov))
+            return y, z
 
         def select_leaves(w, leaves):
             """Systematic ancestor selection of every (8, n) leaf by the
@@ -145,7 +149,7 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             return [jnp.transpose(jnp.concatenate(cols[leaf], axis=1))
                     for leaf in range(n_l)]
 
-        def stage_outputs(lcl, fmean):
+        def stage_outputs(t, lcl, fmean):
             # stage into the revisited (8, 128) output block (flushed to
             # HBM once per 128 steps); masked full-block write, zeroed
             # at col 0
@@ -160,119 +164,133 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 
         fn = kmodel.functional or (lambda p_, st: st[0])
 
-        def weight_and_stage(extra_lcl):
+        def weight_and_stage(t, y, z):
             """Shared tail: add this step's log_g to the carried
-            weights, emit the ratio-form conditional log-likelihood
-            (+ any mode-specific extra term), renormalize the carry."""
+            weights, emit the ratio-form conditional log-likelihood,
+            renormalize the carry."""
             cur_state = tuple(s[:] for s in state_scr)
             lw = lw_scr[:] + kmodel.log_weight(p, cur_state, y, z)
             m = jnp.max(lw, axis=-1, keepdims=True)
             wnorm = jnp.exp(lw - m)
             s = jnp.sum(wnorm, axis=-1, keepdims=True)
-            lcl = (m + jnp.log(s)) - carry_scr[:, 0:1] + extra_lcl
+            lcl = (m + jnp.log(s)) - carry_scr[:, 0:1]
             lw_scr[:] = lw - m
             carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
             h = fn(p, cur_state)
             fmean = (jnp.sum(h * wnorm, axis=-1, keepdims=True)
                      / s)                                    # (8, 1)
-            stage_outputs(lcl, fmean)
+            stage_outputs(t, lcl, fmean)
 
-        def init_t0():
+        def init_t0(y, z):
             st0 = kmodel.init(_Rng, p, y, z, (TILE_B, n))
             for leaf in range(n_leaves):
                 state_scr[leaf][:] = st0[leaf]
             lw_scr[:] = jnp.zeros_like(lw_scr)
             carry_scr[:] = jnp.full_like(carry_scr, log_n)
 
-        if mode == "bootstrap":
-            # ---- maybe resample, then propagate (t > 0) ----------------
+        def bootstrap_advance(y, z):
+            # ---- maybe resample, then propagate ------------------------
             # ESS-gated resampling with proper carried weights (see
             # svol_filter_kernel.py for the cost rationale and the
             # ratio-form conditional-likelihood accounting)
-            @pl.when(t > 0)
-            def _():
-                w = jnp.exp(lw_scr[:])                       # (8, n)
+            w = jnp.exp(lw_scr[:])                           # (8, n)
 
-                def resample():
-                    picked = select_leaves(
-                        w, [s[:] for s in state_scr])
-                    for leaf in range(n_leaves):
-                        state_scr[leaf][:] = picked[leaf]
-                    lw_scr[:] = jnp.zeros_like(lw_scr)
-                    carry_scr[:] = jnp.full_like(carry_scr, log_n)
+            def resample():
+                picked = select_leaves(w, [s[:] for s in state_scr])
+                for leaf in range(n_leaves):
+                    state_scr[leaf][:] = picked[leaf]
+                lw_scr[:] = jnp.zeros_like(lw_scr)
+                carry_scr[:] = jnp.full_like(carry_scr, log_n)
 
-                if always:
-                    resample()
+            if always:
+                resample()
+            else:
+                s1 = jnp.sum(w, axis=-1, keepdims=True)
+                s2 = jnp.sum(w * w, axis=-1, keepdims=True)
+                pl.when(jnp.min(s1 * s1 / s2) < ess_frac * n)(resample)
+
+            cur = tuple(s[:] for s in state_scr)
+            new_state = kmodel.propagate(_Rng, p, cur, y, z)
+            for leaf in range(n_leaves):
+                state_scr[leaf][:] = new_state[leaf]
+
+        def apf_step(t, y, z):
+            # first-stage lookahead weights fsw = lw + logG(look);
+            # select ancestors of (state, look) jointly; propagate;
+            # second-stage weights = logG(new) - logG(look_anc).
+            # Conditional likelihood with carried weights:
+            #   [LSE(fsw) - LSE(lw)] + [LSE(w_new) - log n]
+            # (cf. liu_west_filter.h:449-452 corrected for carry)
+            cur = tuple(s[:] for s in state_scr)
+            look = kmodel.prop_mu(p, cur, y, z)
+            lg_look = kmodel.log_weight(p, look, y, z)
+            fsw = lw_scr[:] + lg_look
+            m_fs = jnp.max(fsw, axis=-1, keepdims=True)
+            w_fs = jnp.exp(fsw - m_fs)
+            s_fs = jnp.sum(w_fs, axis=-1, keepdims=True)
+
+            picked = select_leaves(w_fs, list(cur) + list(look))
+            state_sel = tuple(picked[:n_leaves])
+            look_sel = tuple(picked[n_leaves:])
+
+            new_state = kmodel.propagate(_Rng, p, state_sel, y, z)
+            for leaf in range(n_leaves):
+                state_scr[leaf][:] = new_state[leaf]
+            lg_new = kmodel.log_weight(p, new_state, y, z)
+            lw_new = lg_new - kmodel.log_weight(p, look_sel, y, z)
+
+            m2 = jnp.max(lw_new, axis=-1, keepdims=True)
+            w2 = jnp.exp(lw_new - m2)
+            s2 = jnp.sum(w2, axis=-1, keepdims=True)
+            lcl = ((m_fs + jnp.log(s_fs)) - carry_scr[:, 0:1]
+                   + (m2 + jnp.log(s2)) - log_n)
+            lw_scr[:] = lw_new - m2
+            carry_scr[:] = jnp.broadcast_to(jnp.log(s2), carry_scr.shape)
+            h = fn(p, tuple(s[:] for s in state_scr))
+            fmean = jnp.sum(h * w2, axis=-1, keepdims=True) / s2
+            stage_outputs(t, lcl, fmean)
+
+        # K time steps per grid cell (amortizes the fixed per-cell
+        # overhead, which dominates non-resampling cells under the
+        # ESS-adaptive schedule)
+        for k in range(k_steps):
+            t = tc * k_steps + k
+            y, z = obs_at(t)
+            if mode == "bootstrap":
+                if k == 0:
+                    @pl.when(tc == 0)
+                    def _(y=y, z=z):
+                        init_t0(y, z)
+
+                    @pl.when(tc > 0)
+                    def _(y=y, z=z):
+                        bootstrap_advance(y, z)
                 else:
-                    s1 = jnp.sum(w, axis=-1, keepdims=True)
-                    s2 = jnp.sum(w * w, axis=-1, keepdims=True)
-                    pl.when(jnp.min(s1 * s1 / s2) < ess_frac * n)(
-                        resample)
+                    bootstrap_advance(y, z)
+                weight_and_stage(t, y, z)
+            else:  # apf
+                if k == 0:
+                    @pl.when(tc == 0)
+                    def _(t=t, y=y, z=z):
+                        init_t0(y, z)
+                        weight_and_stage(t, y, z)
 
-                cur = tuple(s[:] for s in state_scr)
-                new_state = kmodel.propagate(_Rng, p, cur, y, z)
-                for leaf in range(n_leaves):
-                    state_scr[leaf][:] = new_state[leaf]
-
-            @pl.when(t == 0)
-            def _():
-                init_t0()
-
-            weight_and_stage(jnp.zeros((TILE_B, 1), jnp.float32))
-
-        else:  # mode == "apf" (Pitt-Shephard auxiliary PF)
-            @pl.when(t > 0)
-            def _():
-                # first-stage lookahead weights fsw = lw + logG(look);
-                # select ancestors of (state, look) jointly; propagate;
-                # second-stage weights = logG(new) - logG(look_anc).
-                # Conditional likelihood with carried weights:
-                #   [LSE(fsw) - LSE(lw)] + [LSE(w_new) - log n]
-                # (cf. liu_west_filter.h:449-452 corrected for carry)
-                cur = tuple(s[:] for s in state_scr)
-                look = kmodel.prop_mu(p, cur, y, z)
-                lg_look = kmodel.log_weight(p, look, y, z)
-                fsw = lw_scr[:] + lg_look
-                m_fs = jnp.max(fsw, axis=-1, keepdims=True)
-                w_fs = jnp.exp(fsw - m_fs)
-                s_fs = jnp.sum(w_fs, axis=-1, keepdims=True)
-
-                picked = select_leaves(w_fs, list(cur) + list(look))
-                state_sel = tuple(picked[:n_leaves])
-                look_sel = tuple(picked[n_leaves:])
-
-                new_state = kmodel.propagate(_Rng, p, state_sel, y, z)
-                for leaf in range(n_leaves):
-                    state_scr[leaf][:] = new_state[leaf]
-                lg_new = kmodel.log_weight(p, new_state, y, z)
-                lw_new = lg_new - kmodel.log_weight(p, look_sel, y, z)
-
-                m2 = jnp.max(lw_new, axis=-1, keepdims=True)
-                w2 = jnp.exp(lw_new - m2)
-                s2 = jnp.sum(w2, axis=-1, keepdims=True)
-                lcl = ((m_fs + jnp.log(s_fs)) - carry_scr[:, 0:1]
-                       + (m2 + jnp.log(s2)) - log_n)
-                lw_scr[:] = lw_new - m2
-                carry_scr[:] = jnp.broadcast_to(jnp.log(s2),
-                                                carry_scr.shape)
-                h = fn(p, tuple(s[:] for s in state_scr))
-                fmean = jnp.sum(h * w2, axis=-1, keepdims=True) / s2
-                stage_outputs(lcl, fmean)
-
-            @pl.when(t == 0)
-            def _():
-                init_t0()
-                weight_and_stage(jnp.zeros((TILE_B, 1), jnp.float32))
+                    @pl.when(tc > 0)
+                    def _(t=t, y=y, z=z):
+                        apf_step(t, y, z)
+                else:
+                    apf_step(t, y, z)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("kmodel", "num_particles",
                                              "interpret", "ess_threshold",
-                                             "mode"))
+                                             "mode", "steps_per_cell"))
 def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                       num_particles: int = 512, interpret: bool = False,
-                      ess_threshold: float = 1.0, mode: str = "bootstrap"):
+                      ess_threshold: float = 1.0, mode: str = "bootstrap",
+                      steps_per_cell: int = 4):
     """Run B whole-sequence particle filters in one ``pallas_call``.
 
     seed: int32 scalar; params: (B, num_params) constrained rows;
@@ -320,16 +338,28 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         raise ValueError(
             f"model {kmodel.name!r} has no prop_mu hook (required for "
             "the auxiliary-PF mode)")
+    k_steps = int(steps_per_cell)
+    if k_steps < 1 or 128 % k_steps:
+        raise ValueError("steps_per_cell must divide 128")
+
+    # pad the series so every grid cell has k_steps observations; the
+    # padded tail's outputs land beyond t_len and are sliced away
+    t_cells = (t_len + k_steps - 1) // k_steps
+    pad_steps = t_cells * k_steps - t_len
+    ys = jnp.concatenate(
+        [ys, jnp.zeros((pad_steps * kmodel.dim_obs,), ys.dtype)])
+    zs = jnp.concatenate(
+        [zs, jnp.zeros((pad_steps * max(1, kmodel.dim_cov),), zs.dtype)])
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
-    t_pad = ((t_len + 127) // 128) * 128
+    t_pad = ((t_cells * k_steps + 127) // 128) * 128
 
     outs = pl.pallas_call(
-        _make_kernel(kmodel, n, float(ess_threshold), mode),
+        _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
-            grid=(b // TILE_B, t_len),
+            grid=(b // TILE_B, t_cells),
             in_specs=[
                 pl.BlockSpec((TILE_B, kmodel.num_params),
                              lambda i, t, *_: (i, 0),
@@ -339,10 +369,10 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             ],
             out_specs=[
                 pl.BlockSpec((TILE_B, 128),
-                             lambda i, t, *_: (i, t // 128),
+                             lambda i, t, *_: (i, (t * k_steps) // 128),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_B, 128),
-                             lambda i, t, *_: (i, t // 128),
+                             lambda i, t, *_: (i, (t * k_steps) // 128),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=(

@@ -46,31 +46,31 @@ from ssme_tpu.utils import logmeanexp
 TILE_B = 8
 
 
-def _make_kernel(num_particles: int, ess_frac: float):
+def _make_kernel(num_particles: int, ess_frac: float,
+                 steps_per_cell: int = 1):
     n = num_particles
+    k_steps = steps_per_cell
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
 
     def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref, xmean_ref,
                x_scr, lw_scr, carry_scr):
         b = pl.program_id(0)
-        t = pl.program_id(1)
+        tc = pl.program_id(1)
         # prng_seed accepts at most 2 values; mix the tile index in
-        pltpu.prng_seed(seed_ref[0] + b * 1000003, t)
+        pltpu.prng_seed(seed_ref[0] + b * 1000003, tc)
 
         beta = params_ref[:, 0:1]
         phi = params_ref[:, 1:2]
         sigma = params_ref[:, 2:3]
-        y = ys_ref[t]
 
-        # ---- maybe resample, then propagate (t > 0) --------------------
-        # lw_scr carries max-normalized log-weights ACROSS steps (proper
-        # SIS weighting); resampling fires only when the worst row's ESS
-        # drops below ess_frac * n (always, when ess_frac >= 1).  The
-        # ablation-measured cost of the resample block is ~3.3us of the
-        # 4.3us cell at n=512 — gating it is the main throughput lever.
-        @pl.when(t > 0)
-        def _():
+        def maybe_resample_and_propagate():
+            # lw_scr carries max-normalized log-weights ACROSS steps
+            # (proper SIS weighting); resampling fires only when the
+            # worst row's ESS drops below ess_frac * n (always, when
+            # ess_frac >= 1).  The ablation-measured cost of the
+            # resample block is ~3.3us of the 4.3us cell at n=512 —
+            # gating it is the main throughput lever.
             w = jnp.exp(lw_scr[:])                           # (8, n)
 
             def resample():
@@ -102,7 +102,7 @@ def _make_kernel(num_particles: int, ess_frac: float):
                     # one-hot selection: first i with cdf_i >= u_j
                     sel = jnp.where(
                         (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
-                    # (n_out, n_in) @ (n_in, 8) on the MXU; keep col `row`
+                    # (n_out, n_in) @ (n_in, 8) on MXU; keep col `row`
                     picked = jax.lax.dot_general(
                         sel, xt, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -122,62 +122,77 @@ def _make_kernel(num_particles: int, ess_frac: float):
             # propagate (resampled or weight-carrying) particles
             x_scr[:] = phi * x_scr[:] + sigma * _normal_bits((TILE_B, n))
 
-        # ---- init (t == 0): stationary draw, uniform weights -----------
-        @pl.when(t == 0)
-        def _():
+        def init_cloud():
+            # stationary draw, uniform weights
             sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
             x_scr[:] = _normal_bits((TILE_B, n)) * sd0
             lw_scr[:] = jnp.zeros_like(lw_scr)
             carry_scr[:] = jnp.full_like(carry_scr, log_n)
 
-        # ---- weight ---------------------------------------------------
-        # log-free form: log N(y; 0, (beta e^{x/2})^2)
-        #   = -log(2pi)/2 - log(beta) - x/2 - (y e^{-x/2} / beta)^2 / 2
-        # one exp per element (vs exp+log+div of the naive form); the
-        # per-row constants (log beta, y/beta) cost 8 lanes each
-        x = x_scr[:]
-        zval = (y / beta) * jnp.exp(-0.5 * x)
-        lg = (-_HALF_LOG_2PI - jnp.log(beta)) - 0.5 * x - 0.5 * zval * zval
-        lw = lw_scr[:] + lg
+        def weight_and_stage(t):
+            y = ys_ref[t]
+            # ---- weight: log-free form of log N(y; 0, (b e^{x/2})^2)
+            #   = -log(2pi)/2 - log(b) - x/2 - (y e^{-x/2} / b)^2 / 2
+            # one exp per element (vs exp+log+div); the per-row
+            # constants (log b, y/b) cost 8 lanes each
+            x = x_scr[:]
+            zval = (y / beta) * jnp.exp(-0.5 * x)
+            lg = ((-_HALF_LOG_2PI - jnp.log(beta))
+                  - 0.5 * x - 0.5 * zval * zval)
+            lw = lw_scr[:] + lg
 
-        # ---- per-step conditional log-likelihood ----------------------
-        # ratio form (reference LWFilter2 accounting,
-        # liu_west_filter.h:1651-1659): p(y_t | y_{1:t-1}) ~=
-        # LSE(log W_{t-1} + log g_t) - LSE(log W_{t-1}); with every-step
-        # resampling this reduces to LSE(log g) - log n
-        m = jnp.max(lw, axis=-1, keepdims=True)
-        wnorm = jnp.exp(lw - m)
-        s = jnp.sum(wnorm, axis=-1, keepdims=True)
-        lcl = (m + jnp.log(s)) - carry_scr[:, 0:1]            # (8, 1)
+            # ---- conditional log-likelihood, ratio form (reference
+            # LWFilter2 accounting, liu_west_filter.h:1651-1659):
+            # LSE(log W + log g) - LSE(log W); with every-step
+            # resampling this reduces to LSE(log g) - log n
+            m = jnp.max(lw, axis=-1, keepdims=True)
+            wnorm = jnp.exp(lw - m)
+            s = jnp.sum(wnorm, axis=-1, keepdims=True)
+            lcl = (m + jnp.log(s)) - carry_scr[:, 0:1]        # (8, 1)
+            lw_scr[:] = lw - m
+            carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
 
-        # renormalize the carried log-weights (max 0) and store their LSE
-        lw_scr[:] = lw - m
-        carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
+            # filtered mean E[x_t | y_{1:t}] under the FULL carried wts
+            xmean = jnp.sum(x * wnorm, axis=-1, keepdims=True) / s
 
-        # filtered state mean E[x_t | y_{1:t}] (self-normalized over the
-        # FULL carried weights, not just this step's increment)
-        xmean = jnp.sum(x * wnorm, axis=-1, keepdims=True) / s   # (8, 1)
+            # stage into the current (8, 128) output blocks; pallas
+            # keeps a block in VMEM while (t*K)//128 is unchanged and
+            # flushes on change.  Mosaic cannot store a single dynamic
+            # lane column, so write the whole block through a lane mask
+            # (zeroing at col 0 covers the final partial block's pad).
+            col = jax.lax.rem(t, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
+            base = jnp.where(col == 0, jnp.zeros_like(out_ref),
+                             out_ref[:])
+            out_ref[:] = jnp.where(lane == col, lcl, base)
+            base_x = jnp.where(col == 0, jnp.zeros_like(xmean_ref),
+                               xmean_ref[:])
+            xmean_ref[:] = jnp.where(lane == col, xmean, base_x)
 
-        # stage into the current (8, 128) output blocks; pallas keeps a
-        # block in VMEM while t // 128 is unchanged and flushes on change.
-        # Mosaic cannot store a single dynamic lane column, so write the
-        # whole block through a lane mask (zeroing it at col 0 covers the
-        # padding lanes of the final partial block).
-        col = jax.lax.rem(t, 128)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
-        base = jnp.where(col == 0, jnp.zeros_like(out_ref), out_ref[:])
-        out_ref[:] = jnp.where(lane == col, lcl, base)
-        base_x = jnp.where(col == 0, jnp.zeros_like(xmean_ref),
-                           xmean_ref[:])
-        xmean_ref[:] = jnp.where(lane == col, xmean, base_x)
+        # K time steps per grid cell: amortizes the fixed per-cell
+        # overhead (~0.8us measured), which dominates non-resampling
+        # cells under the ESS-adaptive schedule
+        for k in range(k_steps):
+            if k == 0:
+                @pl.when(tc == 0)
+                def _():
+                    init_cloud()
+
+                @pl.when(tc > 0)
+                def _():
+                    maybe_resample_and_propagate()
+            else:
+                maybe_resample_and_propagate()
+            weight_and_stage(tc * k_steps + k)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("num_particles", "interpret",
-                                             "ess_threshold"))
+                                             "ess_threshold",
+                                             "steps_per_cell"))
 def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
-                       ess_threshold=1.0):
+                       ess_threshold=1.0, steps_per_cell=4):
     """Full-sequence SVOL bootstrap filtering for B filters at once.
 
     seed: int32 scalar; params: (B, 3) constrained [beta, phi, sigma]
@@ -196,20 +211,29 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     t_len = ys.shape[0]
     b = params.shape[0]
     n = num_particles
+    k_steps = int(steps_per_cell)
     if b % TILE_B:
         raise ValueError(f"B={b} must be a multiple of {TILE_B}")
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
+    if k_steps < 1 or 128 % k_steps:
+        raise ValueError("steps_per_cell must divide 128")
+
+    # pad the series so every grid cell has k_steps observations; the
+    # padded tail's outputs land beyond t_len and are sliced away
+    t_cells = (t_len + k_steps - 1) // k_steps
+    ys = jnp.concatenate(
+        [ys, jnp.zeros((t_cells * k_steps - t_len,), ys.dtype)])
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)  # [k<=i] as k x i
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
-    t_pad = ((t_len + 127) // 128) * 128
+    t_pad = ((t_cells * k_steps + 127) // 128) * 128
 
     lcls = pl.pallas_call(
-        _make_kernel(n, float(ess_threshold)),
+        _make_kernel(n, float(ess_threshold), k_steps),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
-            grid=(b // TILE_B, t_len),
+            grid=(b // TILE_B, t_cells),
             in_specs=[
                 pl.BlockSpec((TILE_B, 3), lambda i, t, *_: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -218,10 +242,10 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
             ],
             out_specs=[
                 pl.BlockSpec((TILE_B, 128),
-                             lambda i, t, *_: (i, t // 128),
+                             lambda i, t, *_: (i, (t * k_steps) // 128),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_B, 128),
-                             lambda i, t, *_: (i, t // 128),
+                             lambda i, t, *_: (i, (t * k_steps) // 128),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
