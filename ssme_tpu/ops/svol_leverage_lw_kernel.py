@@ -78,9 +78,11 @@ def _lse_row(row):
 
 
 def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
-                  resample_every=1, variant="apf", ess_threshold=0.0):
+                  resample_every=1, variant="apf", ess_threshold=0.0,
+                  steps_per_cell=1):
     n = num_particles
-    t_last = num_steps - 1
+    k_steps = steps_per_cell
+    t_cells = (num_steps + k_steps - 1) // k_steps
     a = shrink_a
     lo = np.asarray(prior_lo, np.float32)
     hi = np.asarray(prior_hi, np.float32)
@@ -89,11 +91,10 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
     def kernel(seed_ref, ys_ref, lt_ref, lcl_ref, cloud_ref,
                s_scr, gram_scr):
         f = pl.program_id(0)
-        t = pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] + f * 1000003, t)
-        y = ys_ref[t]
+        tc = pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0] + f * 1000003, tc)
 
-        def stage_lcl(lcl_val):
+        def stage_lcl(t, lcl_val):
             col = jax.lax.rem(t, 128)
             lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
             base = jnp.where(col == 0, jnp.zeros_like(lcl_ref),
@@ -122,7 +123,7 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                 preferred_element_type=jnp.float32)
             return jnp.transpose(picked)
 
-        def store_maybe_resampled(tile, lw_row):
+        def store_maybe_resampled(t, tile, lw_row):
             """Write ``tile`` to scratch; joint (x, theta) systematic
             resample (liu_west_filter.h:90-145 semantics) fires only on
             schedule — or, with ess_threshold > 0, only when the ESS of
@@ -153,8 +154,7 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                 pl.when(jax.lax.rem(t + 1, resample_every) == 0)(
                     do_resample)
 
-        @pl.when(t == 0)
-        def _():
+        def lw_init(t, y):
             u = _uniform_bits((N_PARAM, n))
             # python-float bounds (array constants can't be captured)
             phi_c = float(lo[0]) + float(hi[0] - lo[0]) * u[0:1]
@@ -173,11 +173,10 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             tile = jnp.concatenate(
                 [x, lw, th, jnp.zeros((2, n), jnp.float32)], axis=0)
             lcl_val = _lse_row(lw)[0, 0] - np.log(float(n))
-            stage_lcl(lcl_val)
-            store_maybe_resampled(tile, lw)
+            stage_lcl(t, lcl_val)
+            store_maybe_resampled(t, tile, lw)
 
-        @pl.when(t > 0)
-        def _():
+        def lw_step(t, y):
             x = s_scr[0:1, :]
             lw = s_scr[1:2, :]
             th = s_scr[2:6, :]
@@ -276,14 +275,35 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                 # the ratio of LSEs (lw:1651-1659)
                 lw_new = lw + _log_g(y, x_new)
                 lcl_val = (_lse_row(lw_new)[0, 0] - _lse_row(lw)[0, 0])
-            stage_lcl(lcl_val)
+            stage_lcl(t, lcl_val)
 
             tile = jnp.concatenate(
                 [x_new, lw_new, th_new, jnp.zeros((2, n), jnp.float32)],
                 axis=0)
-            store_maybe_resampled(tile, lw_new)
+            store_maybe_resampled(t, tile, lw_new)
 
-        @pl.when(t == t_last)
+        # K time steps per grid cell (amortizes fixed per-cell
+        # overhead).  Substeps beyond the true series length are
+        # skipped: unlike the sliced lcl outputs, the final cloud is
+        # exposed and must not be filtered on the zero-padded tail.
+        for k in range(k_steps):
+            t = tc * k_steps + k
+            y = ys_ref[t]
+            if k == 0:
+                # t = tc*k_steps < num_steps always (tc < t_cells)
+                @pl.when(tc == 0)
+                def _(t=t, y=y):
+                    lw_init(t, y)
+
+                @pl.when(tc > 0)
+                def _(t=t, y=y):
+                    lw_step(t, y)
+            else:
+                @pl.when(t < num_steps)
+                def _(t=t, y=y):
+                    lw_step(t, y)
+
+        @pl.when(tc == t_cells - 1)
         def _():
             cloud_ref[:] = s_scr[:]
 
@@ -292,11 +312,12 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_filters", "num_particles", "delta", "resample_every", "variant",
-    "interpret", "ess_threshold"))
+    "interpret", "ess_threshold", "steps_per_cell"))
 def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
                             delta=0.99, prior_bounds=None,
                             resample_every=1, variant="apf",
-                            interpret=False, ess_threshold=0.0):
+                            interpret=False, ess_threshold=0.0,
+                            steps_per_cell=4):
     """Full-sequence Liu-West (APF) filtering of the leverage model.
 
     seed: int32; ys: (T,) or (T, 1) observations (z_t = y_{t-1} feeds back
@@ -323,26 +344,35 @@ def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
     n = num_particles
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
+    k_steps = int(steps_per_cell)
+    if k_steps < 1 or 128 % k_steps:
+        raise ValueError("steps_per_cell must divide 128")
     shrink_a = (3.0 * delta - 1.0) / (2.0 * delta)
+
+    # pad the series so every grid cell has k_steps observations
+    t_cells = (t_len + k_steps - 1) // k_steps
+    ys = jnp.concatenate(
+        [ys, jnp.zeros((t_cells * k_steps - t_len,), ys.dtype)])
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
     seed_arr = jnp.asarray([seed], dtype=jnp.int32)
-    t_pad = ((t_len + 127) // 128) * 128
+    t_pad = ((t_cells * k_steps + 127) // 128) * 128
 
     if variant not in ("apf", "sisr"):
         raise ValueError("variant must be 'apf' or 'sisr'")
     lcls, cloud = pl.pallas_call(
         _build_kernel(n, t_len, shrink_a, lo, hi, resample_every, variant,
-                      float(ess_threshold)),
+                      float(ess_threshold), k_steps),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys
-            grid=(num_filters, t_len),
+            grid=(num_filters, t_cells),
             in_specs=[
                 pl.BlockSpec((n, n), lambda f, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((TILE, 128), lambda f, t, *_: (f, t // 128),
+                pl.BlockSpec((TILE, 128),
+                             lambda f, t, *_: (f, (t * k_steps) // 128),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE, n), lambda f, t, *_: (f, 0),
                              memory_space=pltpu.VMEM),
