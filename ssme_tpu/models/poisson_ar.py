@@ -10,8 +10,8 @@ and this model exercises that with a discrete likelihood:
     x_1 ~ N(mu, sigma^2 / (1 - phi^2))
 
 Parameters (constrained) ordered (phi, mu, sigma) with transforms
-{twice_fisher, null, log}.  Default priors: phi ~ U(-1, 1) on the
-stationary region, mu ~ N(0, 2), sigma ~ HalfNormal(0.5).
+{twice_fisher, null, log}.  Default priors (sampled AND scored):
+phi ~ U(-0.99, 0.99), mu ~ N(0, 2), sigma ~ HalfNormal(0.5).
 
 Works with every algorithm in the package: bootstrap/auxiliary PF,
 PMMH, Liu-West (both variants; q = f), and the swarm.
@@ -91,16 +91,19 @@ def sample_g(key, params, x):
 
 def log_prior(params):
     phi, mu, sigma = _unpack(params)
-    return (rv.uniform_logpdf(phi, -1.0, 1.0)
+    return (rv.uniform_logpdf(phi, -0.99, 0.99)
             + rv.norm_logpdf(mu, 0.0, 2.0)
             + rv.halfnorm_logpdf(sigma, 0.5))
 
 
 def sample_prior(key):
+    # draws EXACTLY the distribution log_prior scores (LW and the swarm
+    # initialize parameter clouds from this with no importance
+    # correction, liu_west_filter.h paramPriorSamp semantics)
     kp, km, ks = jax.random.split(key, 3)
-    phi = jax.random.uniform(kp, (), minval=0.3, maxval=0.98)
-    mu = jax.random.normal(km, ()) * 0.5
-    sigma = jnp.abs(jax.random.normal(ks, ())) * 0.3 + 0.05
+    phi = jax.random.uniform(kp, (), minval=-0.99, maxval=0.99)
+    mu = jax.random.normal(km, ()) * 2.0
+    sigma = jnp.abs(jax.random.normal(ks, ())) * 0.5
     return jnp.stack([phi, mu, sigma])
 
 

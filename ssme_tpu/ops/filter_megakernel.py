@@ -29,9 +29,14 @@ float32 arrays (multi-dimensional states = multiple leaves), and ``rng``
 draws from the TPU hardware PRNG (`rng.normal(shape)` /
 `rng.uniform(shape)`).
 
-Restrictions (same as the hand-written kernels): particles a multiple of
-128, filter batch a multiple of 8, systematic resampling every step,
-f32 state.
+Two filtering modes: ``mode="bootstrap"`` (propagate through the
+transition, weight by the observation density, ESS-gated systematic
+resampling with carried weights) and ``mode="apf"`` (Pitt-Shephard
+auxiliary PF via a ``prop_mu`` lookahead hook).  Multiple time steps
+run per grid cell (``steps_per_cell``) to amortize fixed cell overhead.
+
+Restrictions (same as the hand-written kernels): particles a multiple
+of 128 (and at most 1024), filter batch a multiple of 8, f32 state.
 """
 
 from __future__ import annotations
@@ -229,15 +234,18 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             w_fs = jnp.exp(fsw - m_fs)
             s_fs = jnp.sum(w_fs, axis=-1, keepdims=True)
 
-            picked = select_leaves(w_fs, list(cur) + list(look))
+            # carry the already-computed lookahead density through the
+            # selection as an extra leaf rather than re-evaluating
+            # log_weight at the selected lookahead points
+            picked = select_leaves(w_fs, list(cur) + [lg_look])
             state_sel = tuple(picked[:n_leaves])
-            look_sel = tuple(picked[n_leaves:])
+            lg_look_sel = picked[n_leaves]
 
             new_state = kmodel.propagate(_Rng, p, state_sel, y, z)
             for leaf in range(n_leaves):
                 state_scr[leaf][:] = new_state[leaf]
             lg_new = kmodel.log_weight(p, new_state, y, z)
-            lw_new = lg_new - kmodel.log_weight(p, look_sel, y, z)
+            lw_new = lg_new - lg_look_sel
 
             m2 = jnp.max(lw_new, axis=-1, keepdims=True)
             w2 = jnp.exp(lw_new - m2)

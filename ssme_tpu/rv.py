@@ -132,9 +132,12 @@ def mvn_logpdf(x, mean, cov=None, chol=None):
 
 def poisson_logpmf(k, log_rate):
     """log Poisson(k; rate = e^{log_rate}), rate given in log space so
-    count models can pass the latent log-intensity directly."""
+    count models can pass the latent log-intensity directly.
+    Non-integer or negative k yields -inf (out-of-domain convention)."""
     k = jnp.asarray(k, jnp.float32)
-    return k * log_rate - jnp.exp(log_rate) - gammaln(k + 1.0)
+    val = k * log_rate - jnp.exp(log_rate) - gammaln(k + 1.0)
+    ok = (k >= 0) & (k == jnp.floor(k))
+    return jnp.where(ok, val, -jnp.inf)
 
 
 def categorical_from_log_weights(key, log_weights, shape=None):
