@@ -130,6 +130,31 @@ def mvn_logpdf(x, mean, cov=None, chol=None):
 # categorical / index sampling from log-weights
 # ---------------------------------------------------------------------------
 
+def t_logpdf(x, df, loc=0.0, scale=1.0):
+    """log Student-t density with ``df`` degrees of freedom.
+    Out-of-domain (df <= 0 or scale <= 0) yields -inf.
+
+    The normalizing constant gammaln((df+1)/2) - gammaln(df/2)
+    catastrophically cancels in f32 for large df (both terms ~1e6 with
+    an O(1) difference); above df=200 it switches to the asymptotic
+    Gamma(a+1/2)/Gamma(a) = sqrt(a) (1 - 1/(8a) + 1/(128a^2) + ...)
+    with a = df/2, which converges to the Gaussian constant exactly.
+    """
+    df = jnp.asarray(df, jnp.float32)
+    z = (x - loc) / scale
+    a = 0.5 * df
+    const_exact = (gammaln(a + 0.5) - gammaln(a)
+                   - 0.5 * jnp.log(df * jnp.pi))
+    # log[Gamma(a+1/2)/Gamma(a)] ~ 0.5 log a + log1p(-1/(8a) + 1/(128 a^2))
+    const_asym = (0.5 * jnp.log(a) - 0.5 * jnp.log(df * jnp.pi)
+                  + jnp.log1p(-1.0 / (8.0 * a)
+                              + 1.0 / (128.0 * a * a)))
+    const = jnp.where(df > 200.0, const_asym, const_exact)
+    val = (const - jnp.log(scale)
+           - 0.5 * (df + 1.0) * jnp.log1p(z * z / df))
+    return jnp.where((df > 0) & (scale > 0), val, -jnp.inf)
+
+
 def poisson_logpmf(k, log_rate):
     """log Poisson(k; rate = e^{log_rate}), rate given in log space so
     count models can pass the latent log-intensity directly.
@@ -156,6 +181,7 @@ def categorical_from_log_weights(key, log_weights, shape=None):
 
 __all__ = [
     "poisson_logpmf",
+    "t_logpdf",
     "norm_logpdf", "uniform_logpdf", "invgamma_logpdf", "halfnorm_logpdf",
     "beta_logpdf", "twice_fisher", "chol_with_jitter", "mvn_sample",
     "mvn_logpdf", "categorical_from_log_weights",
