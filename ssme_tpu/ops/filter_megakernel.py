@@ -654,7 +654,60 @@ def poisson_obs_rows(counts):
     return jnp.stack([y, gammaln(y + 1.0)], axis=-1)
 
 
+def svol_t_kernel_model() -> KernelModel:
+    """Student-t observation SVOL (``models/svol_t.py``) as a kernel
+    model.  The t normalizing constant needs gammaln, which has no
+    in-kernel primitive — but it depends only on the PARAMETER nu
+    (fixed per filter row), so it is precomputed outside and carried as
+    a derived parameter column: rows are
+    ``[beta, phi, sigma, nu, c_nu]`` (see :func:`svol_t_param_rows`).
+    """
+
+    def init(rng, p, y, z, shape):
+        phi, sigma = p[:, 1:2], p[:, 2:3]
+        sd0 = sigma / jnp.sqrt(1.0 - phi * phi)
+        return (rng.normal(shape) * sd0,)
+
+    def propagate(rng, p, state, y, z):
+        phi, sigma = p[:, 1:2], p[:, 2:3]
+        (x,) = state
+        return (phi * x + sigma * rng.normal(x.shape),)
+
+    def prop_mu(p, state, y, z):
+        (x,) = state
+        return (p[:, 1:2] * x,)
+
+    def log_weight(p, state, y, z):
+        beta, nu, c_nu = p[:, 0:1], p[:, 3:4], p[:, 4:5]
+        (x,) = state
+        # scale = beta e^{x/2}; log t_nu(y/scale) - log scale, with the
+        # nu-dependent constant c_nu precomputed per row
+        zval = (y[0] / beta) * jnp.exp(-0.5 * x)
+        return (c_nu - jnp.log(beta) - 0.5 * x
+                - 0.5 * (nu + 1.0) * jnp.log1p(zval * zval / nu))
+
+    return KernelModel(num_params=5, init=init, propagate=propagate,
+                       log_weight=log_weight, prop_mu=prop_mu,
+                       name="svol_t")
+
+
+def svol_t_param_rows(params):
+    """(B, 4) constrained (beta, phi, ss, nu) rows -> (B, 5) kernel rows
+    ``[beta, phi, sigma, nu, c_nu]`` with the t normalizing constant
+    precomputed via :func:`ssme_tpu.rv.t_logpdf`'s machinery."""
+    from jax.scipy.special import gammaln
+    p = jnp.asarray(params, jnp.float32)
+    beta, phi, ss, nu = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    a = 0.5 * nu
+    c_exact = gammaln(a + 0.5) - gammaln(a) - 0.5 * jnp.log(nu * jnp.pi)
+    c_asym = (0.5 * jnp.log(a) - 0.5 * jnp.log(nu * jnp.pi)
+              + jnp.log1p(-1.0 / (8.0 * a) + 1.0 / (128.0 * a * a)))
+    c_nu = jnp.where(nu > 200.0, c_asym, c_exact)
+    return jnp.stack([beta, phi, jnp.sqrt(ss), nu, c_nu], axis=-1)
+
+
 __all__ = ["KernelModel", "filter_megakernel", "megakernel_log_like",
            "megakernel_swarm_evidence", "svol_kernel_model",
            "svol_leverage_kernel_model", "factor_svol_kernel_model",
-           "poisson_ar_kernel_model", "poisson_obs_rows", "TILE_B"]
+           "poisson_ar_kernel_model", "poisson_obs_rows",
+           "svol_t_kernel_model", "svol_t_param_rows", "TILE_B"]

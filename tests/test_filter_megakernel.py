@@ -334,3 +334,58 @@ def test_kernel_systematic_resampling_law():
     expected = float((w * x).sum())
     got = np.asarray(fmeans)[:, 1]
     assert np.all(np.abs(got - expected) < 2.0 / n), (got, expected)
+
+
+def test_svol_t_kernel_log_weight_matches_model():
+    from ssme_tpu.models import svol_t
+    from ssme_tpu.ops.filter_megakernel import (svol_t_kernel_model,
+                                                svol_t_param_rows)
+
+    km = svol_t_kernel_model()
+    params4 = jnp.array([[1.2, 0.9, 0.04, 5.0]])
+    rows = svol_t_param_rows(jnp.tile(params4, (8, 1)))
+    x = jax.random.normal(jax.random.key(1), (8, 16))
+    y = 0.7
+    lw = km.log_weight(rows, (x,), (y,), ())
+
+    def ref_one(xs):
+        return svol_t.log_g(params4[0], jnp.array([y]), xs[None], None)
+
+    ref = jax.vmap(jax.vmap(ref_one))(x)
+    np.testing.assert_allclose(np.asarray(lw), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_svol_t_kernel_interpret():
+    from ssme_tpu.models import svol_t
+    from ssme_tpu.ops.filter_megakernel import (svol_t_kernel_model,
+                                                svol_t_param_rows)
+
+    p = jnp.array([1.0, 0.9, 0.04, 5.0])
+    _, ys = svol_t.simulate(jax.random.key(0), p, 12)
+    rows = svol_t_param_rows(jnp.tile(p, (8, 1)))
+    for mode in ("bootstrap", "apf"):
+        total, _, _ = filter_megakernel(svol_t_kernel_model(), 5, rows,
+                                        ys, num_particles=128,
+                                        interpret=True, mode=mode)
+        assert np.all(np.isfinite(np.asarray(total))), mode
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_svol_t_kernel_matches_xla_statistically():
+    from ssme_tpu.filters import log_likelihood_fn
+    from ssme_tpu.models import svol_t
+    from ssme_tpu.ops.filter_megakernel import (svol_t_kernel_model,
+                                                svol_t_param_rows)
+
+    B = 32
+    p = jnp.array([1.0, 0.9, 0.04, 5.0])
+    _, ys = svol_t.simulate(jax.random.key(0), p, 200)
+    rows = svol_t_param_rows(jnp.tile(p, (B, 1)))
+    tot, _, _ = filter_megakernel(svol_t_kernel_model(), 7, rows, ys,
+                                  num_particles=512)
+    ll = log_likelihood_fn(svol_t.make_model(), num_particles=512)
+    ref = jax.vmap(lambda k: ll(k, p, ys))(
+        jax.random.split(jax.random.key(2), B))
+    se = float(jnp.std(ref)) / np.sqrt(B) * 4 + 0.5
+    assert abs(float(tot.mean()) - float(ref.mean())) < se
