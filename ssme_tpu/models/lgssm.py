@@ -183,4 +183,31 @@ def kalman_filter(params, ys):
     return lls, means, variances
 
 
-__all__ = ["make_model", "simulate", "kalman_filter", "TRANSFORMS"]
+def kalman_smoother(params, ys):
+    """Exact RTS smoother: returns (smoothed_means, smoothed_vars) —
+    E[x_t | y_{1:T}].  Ground truth for the particle fixed-lag smoother
+    (``filters/smoothing.py``)."""
+    a, q, _ = params[0], params[1], params[2]
+    _, means, variances = kalman_filter(params, ys)
+    # backward RTS recursion
+    last = (means[-1], variances[-1])
+
+    def back(carry, inp):
+        m_next_s, v_next_s = carry
+        m_f, v_f = inp
+        m_pred = a * m_f
+        v_pred = a * a * v_f + q * q
+        gain = v_f * a / v_pred
+        m_s = m_f + gain * (m_next_s - m_pred)
+        v_s = v_f + gain * gain * (v_next_s - v_pred)
+        return (m_s, v_s), (m_s, v_s)
+
+    _, (ms, vs) = jax.lax.scan(back, last, (means[:-1], variances[:-1]),
+                               reverse=True)
+    ms = jnp.concatenate([ms, means[-1:]])
+    vs = jnp.concatenate([vs, variances[-1:]])
+    return ms, vs
+
+
+__all__ = ["make_model", "simulate", "kalman_filter", "kalman_smoother",
+           "TRANSFORMS"]
