@@ -321,6 +321,11 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             raise ValueError(f"model {kmodel.name!r} needs covariates zs")
         zs = jnp.asarray(zs, jnp.float32).reshape(t_len, kmodel.dim_cov)
     else:
+        if zs is not None:
+            raise ValueError(
+                f"model {kmodel.name!r} has dim_cov=0 but covariates zs "
+                "were supplied — build the kernel model with dim_cov set "
+                "if the model should see them")
         zs = jnp.zeros((t_len, 1), jnp.float32)
     # flatten for SMEM (see kernel note on lane padding)
     ys = ys.reshape(-1)
@@ -458,6 +463,12 @@ def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
 # Kernel models for the built-in model families
 # ---------------------------------------------------------------------------
 
+# The built-in factories are memoized: KernelModel registers static with
+# eq=False, so jit caches by object identity — a fresh instance per call
+# would silently trigger a full recompile (1-10 min on TPU via the remote
+# compile service).
+
+@functools.lru_cache(maxsize=None)
 def svol_kernel_model() -> KernelModel:
     """Univariate SVOL (reference ``example/univ_svol_bootstrap_filter.h``)
     as a kernel model; parameter rows (beta, phi, sigma).  The hand-fused
@@ -492,6 +503,7 @@ def svol_kernel_model() -> KernelModel:
                        name="svol")
 
 
+@functools.lru_cache(maxsize=None)
 def svol_leverage_kernel_model() -> KernelModel:
     """SVOL with leverage (reference ``test/test_pswarm.cpp:28-141``,
     LW parameterization per ``models/svol_leverage.py``); parameter rows
@@ -529,6 +541,7 @@ def svol_leverage_kernel_model() -> KernelModel:
                        name="svol_leverage")
 
 
+@functools.lru_cache(maxsize=None)
 def factor_svol_kernel_model(n_assets: int = 5) -> KernelModel:
     """Multivariate factor SVOL (``models/factor_svol.py``) with k=2
     factors as a TWO-LEAF kernel model: the state is (x1, x2), each a
@@ -610,6 +623,7 @@ def factor_svol_kernel_model(n_assets: int = 5) -> KernelModel:
                        name=f"factor_svol_{na}x2")
 
 
+@functools.lru_cache(maxsize=None)
 def poisson_ar_kernel_model() -> KernelModel:
     """Poisson AR(1) count model (``models/poisson_ar.py``) as a kernel
     model; parameter rows (phi, mu, sigma).
@@ -654,6 +668,7 @@ def poisson_obs_rows(counts):
     return jnp.stack([y, gammaln(y + 1.0)], axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
 def svol_t_kernel_model() -> KernelModel:
     """Student-t observation SVOL (``models/svol_t.py``) as a kernel
     model.  The t normalizing constant needs gammaln, which has no

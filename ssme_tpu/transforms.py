@@ -192,13 +192,56 @@ class ParamPack:
             self._trans = params
         else:
             self._trans = self.transform.unconstrain(params)
+        self._capacity = self.transform.dim
+
+    @classmethod
+    def empty(cls, numelem: int) -> "ParamPack":
+        """Start an empty pack of fixed capacity for incremental
+        construction — the analog of the reference's default-constructed
+        ``pack<float_t, numelem>()`` (``parameters.h:503-507``) filled via
+        ``add_param_and_transform``."""
+        if numelem < 1:
+            raise ValueError("numelem must be >= 1")
+        self = cls.__new__(cls)
+        self.transform = None
+        self._trans = jnp.zeros((0,))
+        self._capacity = int(numelem)
+        return self
+
+    def add_param_and_transform(self, elem, transform_name: str,
+                                is_transformed: bool = True) -> "ParamPack":
+        """Append one (value, transform) element, reference semantics
+        (``parameters.h:511-537``): the value is stored in the transformed
+        space, converting first when ``is_transformed=False``; adding past
+        the declared capacity throws (``std::length_error``,
+        ``parameters.h:521,536``).  Returns ``self`` for chaining."""
+        filled = 0 if self.transform is None else self.transform.dim
+        if filled >= self._capacity:
+            raise ValueError("can't add any more transformations")
+        names = (() if self.transform is None else self.transform.names)
+        new_tf = ParamTransform(names + (transform_name,))
+        elem = jnp.asarray(elem, dtype=jnp.result_type(float)).reshape(())
+        if not is_transformed:
+            elem = unconstrain(elem[None],
+                               codes_from_names((transform_name,)))[0]
+        self.transform = new_tf
+        self._trans = jnp.concatenate([self._trans.reshape(-1), elem[None]])
+        return self
+
+    def _require_full(self):
+        filled = 0 if self.transform is None else self.transform.dim
+        if filled != self._capacity:
+            raise ValueError(
+                f"pack is not fully constructed: {filled} of "
+                f"{self._capacity} elements added")
 
     @property
     def dim(self) -> int:
-        return self.transform.dim
+        return self._capacity
 
     def get_trans_params(self, start: int = None, end: int = None) -> jnp.ndarray:
         # subset semantics of parameters.h:598-602 (inclusive end)
+        self._require_full()
         if start is None:
             return self._trans
         end = start if end is None else end
@@ -206,6 +249,7 @@ class ParamPack:
 
     def get_untrans_params(self, start: int = None, end: int = None) -> jnp.ndarray:
         # parameters.h:587-618 (inclusive end)
+        self._require_full()
         p = self.transform.constrain(self._trans)
         if start is None:
             return p
@@ -213,6 +257,7 @@ class ParamPack:
         return p[..., start:end + 1]
 
     def get_log_jacobian(self) -> jnp.ndarray:
+        self._require_full()
         return self.transform.log_det_jacobian(self._trans)
 
 

@@ -36,6 +36,26 @@ def test_shape_validation():
         filter_megakernel(svol_leverage_kernel_model(), 0,
                           jnp.ones((8, 4)), jnp.ones(16),
                           num_particles=128, interpret=True)
+    # and the converse: zs supplied to a model built without dim_cov is
+    # a wiring mistake, not something to silently zero out
+    with pytest.raises(ValueError, match="dim_cov=0"):
+        filter_megakernel(km, 0, jnp.ones((8, 3)), jnp.ones(16),
+                          zs=jnp.ones(16), num_particles=128,
+                          interpret=True)
+
+
+def test_builtin_kernel_models_are_memoized():
+    # KernelModel is register_static with eq=False (identity caching in
+    # jit) — repeated factory calls must return the SAME object or every
+    # call site recompiles.
+    assert svol_kernel_model() is svol_kernel_model()
+    assert svol_leverage_kernel_model() is svol_leverage_kernel_model()
+    from ssme_tpu.ops.filter_megakernel import (
+        factor_svol_kernel_model, poisson_ar_kernel_model,
+        svol_t_kernel_model)
+    assert factor_svol_kernel_model(5) is factor_svol_kernel_model(5)
+    assert poisson_ar_kernel_model() is poisson_ar_kernel_model()
+    assert svol_t_kernel_model() is svol_t_kernel_model()
 
 
 def test_interpret_runs_finite_svol():

@@ -23,6 +23,13 @@ def test_transform_snippet():
     assert pack.get_trans_params().shape == (3,)
     assert np.isfinite(float(pack.get_log_jacobian()))
 
+    pp = ParamPack.empty(3)
+    pp.add_param_and_transform(1.0, "null")
+    pp.add_param_and_transform(0.5, "twice_fisher", is_transformed=False)
+    pp.add_param_and_transform(2e-4, "log", is_transformed=False)
+    np.testing.assert_allclose(np.asarray(pp.get_untrans_params()),
+                               [1.0, 0.5, 2e-4], rtol=1e-4)
+
 
 def test_io_snippet(tmp_path):
     from ssme_tpu.io import ParamSampler, read_data

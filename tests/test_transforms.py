@@ -82,6 +82,38 @@ def test_param_pack_from_untransformed():
                                [1.0, 2.0, 0.5, 0.3], rtol=5e-4, atol=1e-4)
 
 
+def test_param_pack_incremental_construction():
+    # add_param_and_transform semantics (parameters.h:511-537): values
+    # stored transformed, converting when is_transformed=False; golden
+    # constrained values and log-Jacobian match the one-shot ctor.
+    pp = tr.ParamPack.empty(4)
+    pp.add_param_and_transform(TRANS_VALS[0], "null")
+    pp.add_param_and_transform(TRANS_VALS[1], "log", is_transformed=True)
+    # feed the remaining two in the CONSTRAINED space
+    pp.add_param_and_transform(GOLDEN_CONSTRAINED[2], "logit",
+                               is_transformed=False)
+    pp.add_param_and_transform(GOLDEN_CONSTRAINED[3], "twice_fisher",
+                               is_transformed=False)
+    np.testing.assert_allclose(np.asarray(pp.get_untrans_params()),
+                               GOLDEN_CONSTRAINED, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pp.get_trans_params()),
+                               TRANS_VALS, rtol=5e-3, atol=1e-4)
+    assert abs(float(pp.get_log_jacobian()) - GOLDEN_LOG_JAC) < 2e-2
+    assert pp.dim == 4
+
+
+def test_param_pack_incremental_overflow_and_underfill():
+    pp = tr.ParamPack.empty(1)
+    pp.add_param_and_transform(0.5, "log")
+    # capacity exceeded throws, matching std::length_error
+    # ("can't add any more transformations", parameters.h:521)
+    with pytest.raises(ValueError, match="can't add any more"):
+        pp.add_param_and_transform(0.1, "null")
+    half = tr.ParamPack.empty(2).add_param_and_transform(0.5, "log")
+    with pytest.raises(ValueError, match="not fully constructed"):
+        half.get_untrans_params()
+
+
 def test_unknown_transform_raises():
     with pytest.raises(ValueError):
         tr.ParamTransform(("null", "sqrt"))
