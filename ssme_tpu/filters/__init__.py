@@ -5,6 +5,7 @@ from ssme_tpu.filters.bootstrap import (
 )
 from ssme_tpu.filters.liu_west import LiuWestFilter, LiuWestResult
 from ssme_tpu.filters.auxiliary import AuxiliaryParticleFilter
+from ssme_tpu.filters.smoothing import fixed_lag_smoother
 
 __all__ = [
     "BootstrapFilter",
@@ -13,4 +14,5 @@ __all__ = [
     "LiuWestFilter",
     "LiuWestResult",
     "AuxiliaryParticleFilter",
+    "fixed_lag_smoother",
 ]

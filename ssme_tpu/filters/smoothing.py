@@ -1,18 +1,26 @@
-"""Fixed-lag particle smoothing: E[x_{t-L} | y_{1:t}].
+"""Fixed-lag particle smoothing: E[x_t | y_{1:t+L}].
 
 Beyond the reference (which only filters): the standard fixed-lag
 smoother keeps an (L+1)-step rolling window of each particle's recent
 path in the scan carry; every resampling gathers the WHOLE window with
-the same ancestors, so at time t the window's oldest slot holds
-genealogy-consistent draws of x_{t-L} weighted by the current weights.
-For geometrically mixing state-space models a modest lag already
-approximates the full smoother E[x_s | y_{1:T}] (validated against the
-exact RTS Kalman smoother on the linear-Gaussian model).
+the same ancestors, so after the step at time t the window's oldest
+slot holds genealogy-consistent draws of x_{t-L} weighted by the
+current weights.  For geometrically mixing state-space models a modest
+lag already approximates the full smoother E[x_s | y_{1:T}]
+(validated against the exact RTS Kalman smoother on the linear-Gaussian
+model in ``tests/test_smoothing.py``).
 
 TPU shape notes: the window is a dense (L+1, N, dim_state) carry array
 rolled with ``jnp.roll`` (static shapes, no dynamic slicing); resampling
 gathers it jointly with the particles through the existing pytree
 resampler.
+
+Index accounting (0-based time): at scan step t (t = 1..T-1) the window
+is rolled and its newest slot set to the just-propagated particles, so
+slot j holds x_{max(0, t-L+j)}; the emitted smoothed value is the
+weighted mean of slot 0, i.e. E[x_{t-L} | y_{0:t}] once t >= L.  After
+the scan, slots 1..L hold x_{T-L}..x_{T-1}, providing the tail
+estimates E[x_s | y_{0:T-1}] for the last L times.
 """
 
 from __future__ import annotations
@@ -69,8 +77,9 @@ def fixed_lag_smoother(model: StateSpaceModel, num_particles: int,
                                                     x, z1)
             - m.log_q1(params, x, ys_arr[0]))(particles)
         lcl0 = logsumexp(log_w) - jnp.log(float(n))
+        filt0 = weighted_mean(particles, log_w)
 
-        # rolling window: slot 0 = oldest (x_{t-L}), slot L = current
+        # rolling window: slot 0 = oldest, slot L = current particles
         window = jnp.tile(particles[None], (L + 1, 1, 1))
 
         ts = jnp.arange(1, t_len)
@@ -78,7 +87,7 @@ def fixed_lag_smoother(model: StateSpaceModel, num_particles: int,
                  else (ts, ys_arr[1:]))
 
         def step(carry, inp):
-            particles, window, log_w, prev_lse, key = carry
+            particles, window, log_w, key = carry
             if m.has_covariates:
                 t, y, z = inp
             else:
@@ -93,7 +102,9 @@ def fixed_lag_smoother(model: StateSpaceModel, num_particles: int,
                 do_rs, kind=resampler)
             window = jnp.swapaxes(window_t, 0, 1)
 
-            # propagate and weight (carried-weight accounting)
+            # propagate and weight (carried-weight accounting, matching
+            # filters/bootstrap.py:128-137)
+            old_lse = logsumexp(log_w)
             if m.sample_f_batch is not None:
                 particles = m.sample_f_batch(k_prop, params, particles, z)
             else:
@@ -102,40 +113,30 @@ def fixed_lag_smoother(model: StateSpaceModel, num_particles: int,
                     jax.random.split(k_prop, n), particles)
             log_w = log_w + jax.vmap(
                 lambda x: m.log_g(params, y, x, z))(particles)
-            new_lse = logsumexp(log_w)
-            lcl = new_lse - prev_lse
+            lcl = logsumexp(log_w) - old_lse
 
-            # slide the window (slot 0 falls out smoothed)
-            smoothed_out = weighted_mean(window[0], log_w)
+            # slide the window FIRST (slot j now holds x_{t-L+j}), then
+            # emit slot 0 = E[x_{t-L} | y_{0:t}]
             window = jnp.roll(window, -1, axis=0).at[L].set(particles)
+            smoothed_out = weighted_mean(window[0], log_w)
             filtered_out = weighted_mean(particles, log_w)
-            return ((particles, window, log_w, new_lse, key),
+            return ((particles, window, log_w, key),
                     (smoothed_out, filtered_out, lcl))
 
-        prev_lse = logsumexp(jnp.zeros((n,)))  # after conceptual reset
-        # first step carries the time-0 weights (no reset at t=0)
-        carry = (particles, window, log_w, logsumexp(log_w), k_scan)
-        (particles, window, log_w, _, _), (sm, fl, lcls) = jax.lax.scan(
+        carry = (particles, window, log_w, k_scan)
+        (particles, window, log_w, _), (sm, fl, lcls) = jax.lax.scan(
             step, carry, xs_in)
 
-        # the window's smoothed output at step t is E[x_{t-L} | y_{1:t}];
-        # flush the tail: slots 1..L hold x_{T-L}..x_{T-1} (slot L is
-        # x_{T-1} post-roll? no: after the last roll slot L = x_{T-1})
+        # sm[k] (scan step t = k+1) estimates x_{t-L}: valid lag-L
+        # entries start at k = L-1 (x_0).  The tail x_{T-L}..x_{T-1}
+        # comes from window slots 1..L under the final weights.
         tail = jax.vmap(lambda slot: weighted_mean(slot, log_w))(
             window[1:])
-        # assemble: smoothed estimates for x_0..x_{T-1}
-        # sm has T-1 entries: at scan step t (=1..T-1) it smoothed
-        # x_{t-L-? }; entries before the window filled are the filtered
-        # x_0 replicate — take the valid alignment:
-        # sm[k] (k=0..T-2) corresponds to time t = k+1, smoothing slot0 =
-        # x_{max(0, k+1-L)}; only k+1 >= L yields true lag-L estimates.
-        smoothed = jnp.concatenate([sm[L - 1:], tail]) if t_len > L \
-            else tail[-t_len:]
-        filt0 = weighted_mean(window[0], lcls[0] * 0 + log_w) * 0
-        filtered = jnp.concatenate(
-            [smoothed[:0], fl]) if False else fl  # (T-1, d)
-        # prepend the time-0 filtered mean
-        # (recompute from the initial cloud is not carried; use sm/fl)
+        if t_len > L:
+            smoothed = jnp.concatenate([sm[L - 1:], tail])
+        else:
+            smoothed = tail[-t_len:]
+        filtered = jnp.concatenate([filt0[None], fl])
         log_likelihood = lcl0 + jnp.sum(lcls)
         return smoothed, filtered, log_likelihood
 
