@@ -12,6 +12,7 @@ from ssme_tpu.models import lgssm
 from ssme_tpu.parallel.sharded_pf import (
     global_logsumexp,
     make_sharded_ll_callable,
+    ring_resample,
     sharded_log_likelihood_fn,
     sharded_systematic_ancestors,
 )
@@ -55,6 +56,144 @@ def test_sharded_ancestors_match_weights_distribution():
     want = np.arange(1.0, n + 1)
     want /= want.sum()
     np.testing.assert_allclose(freqs, want, atol=0.01)
+
+
+def test_ring_resample_matches_allgather_bitwise():
+    """The ring exchange must reproduce the all-gather reference
+    assignment EXACTLY (same shared partition positions, same compares):
+    resampled clouds agree bit-for-bit across weights and keys."""
+    for shards in (2, 4, 8):
+        mesh = _particle_mesh(shards)
+        n = 64
+
+        def via_ring(logw, xs, key):
+            return ring_resample(key, logw, (xs,), "particle")[0]
+
+        def via_gather(logw, xs, key):
+            anc = sharded_systematic_ancestors(key, logw, "particle")
+            cloud = jax.lax.all_gather(xs, "particle")
+            cloud = cloud.reshape((-1,) + xs.shape[1:])
+            return jnp.take(cloud, anc, axis=0)
+
+        f_ring = shard_map(via_ring, mesh=mesh,
+                           in_specs=(P("particle"), P("particle"), P()),
+                           out_specs=P("particle"), check_vma=False)
+        f_gather = shard_map(via_gather, mesh=mesh,
+                             in_specs=(P("particle"), P("particle"), P()),
+                             out_specs=P("particle"), check_vma=False)
+        for seed in range(6):
+            kw, kx, kr = jax.random.split(jax.random.key(seed), 3)
+            # heavy-tailed weights: exercises imbalanced shard masses
+            logw = 3.0 * jax.random.normal(kw, (n,))
+            xs = jax.random.normal(kx, (n, 2))
+            a = np.asarray(f_ring(logw, xs, kr))
+            b = np.asarray(f_gather(logw, xs, kr))
+            np.testing.assert_array_equal(a, b)
+
+
+def test_ring_resample_extreme_imbalance():
+    """All mass on one shard: every output slot must still be claimed
+    exactly once (the pinned boundary positions leave no holes), and all
+    ancestors come from the heavy shard."""
+    mesh = _particle_mesh(8)
+    n = 64
+
+    def via_ring(logw, xs, key):
+        return ring_resample(key, logw, (xs,), "particle")[0]
+
+    f = shard_map(via_ring, mesh=mesh,
+                  in_specs=(P("particle"), P("particle"), P()),
+                  out_specs=P("particle"), check_vma=False)
+    # shard 3 holds essentially all the weight
+    logw = jnp.full((n,), -1e30).at[3 * 8:4 * 8].set(0.0)
+    xs = jnp.arange(n, dtype=jnp.float32)[:, None]
+    out = np.asarray(f(logw, xs, jax.random.key(0)))[:, 0]
+    assert np.all((out >= 24) & (out < 32)), out
+    # systematic resampling of 8 uniform weights into 64 slots: each
+    # ancestor appears exactly 8 times
+    _, counts = np.unique(out, return_counts=True)
+    np.testing.assert_array_equal(counts, np.full(8, 8))
+
+
+def _shardmap_max_intermediate(fn, *args):
+    """Largest array (in elements) created INSIDE the shard_map body."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+
+    def walk(jx):
+        mx = 0
+        for eqn in jx.eqns:
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and hasattr(aval, "shape"):
+                    mx = max(mx, int(np.prod(aval.shape, dtype=np.int64)))
+            for val in eqn.params.values():
+                for sub in jax.tree_util.tree_leaves(
+                        val, is_leaf=lambda x: hasattr(x, "eqns")):
+                    if hasattr(sub, "eqns"):
+                        mx = max(mx, walk(sub))
+                    elif hasattr(sub, "jaxpr"):
+                        mx = max(mx, walk(sub.jaxpr))
+        return mx
+
+    for eqn in jaxpr.eqns:
+        if "shard_map" in str(eqn.primitive):
+            body = eqn.params.get("jaxpr")
+            return walk(body if hasattr(body, "eqns") else body.jaxpr)
+    raise AssertionError("no shard_map eqn found")
+
+
+def test_ring_resample_memory_is_o_n_local():
+    """SURVEY §7 hard part: the sharded resampler must not materialize
+    global N on one chip.  The largest per-shard intermediate of the
+    ring exchange must stay O(n_local) — CONSTANT as the shard count
+    (hence global N) grows — while the all-gather variant's grows
+    linearly with N."""
+    n_local = 2048  # large enough that searchsorted uses bisection
+    ring_sizes, gather_sizes = {}, {}
+    for shards in (2, 8):
+        mesh = _particle_mesh(shards)
+        n = n_local * shards
+
+        def via_ring(logw, xs, key):
+            return ring_resample(key, logw, (xs,), "particle")[0]
+
+        def via_gather(logw, xs, key):
+            anc = sharded_systematic_ancestors(key, logw, "particle")
+            cloud = jax.lax.all_gather(xs, "particle")
+            cloud = cloud.reshape((-1,) + xs.shape[1:])
+            return jnp.take(cloud, anc, axis=0)
+
+        args = (jnp.zeros(n), jnp.zeros((n, 1)), jax.random.key(0))
+        specs = dict(in_specs=(P("particle"), P("particle"), P()),
+                     out_specs=P("particle"), check_vma=False)
+        ring_sizes[shards] = _shardmap_max_intermediate(
+            shard_map(via_ring, mesh=mesh, **specs), *args)
+        gather_sizes[shards] = _shardmap_max_intermediate(
+            shard_map(via_gather, mesh=mesh, **specs), *args)
+
+    # ring: no intermediate grows with the shard count, and everything
+    # is a small multiple of n_local
+    assert ring_sizes[8] == ring_sizes[2], ring_sizes
+    assert ring_sizes[8] <= 4 * n_local, ring_sizes
+    # all-gather reference: the gathered cloud is O(N) per chip
+    assert gather_sizes[8] >= 8 * n_local, gather_sizes
+    assert gather_sizes[8] > ring_sizes[8]
+
+
+def test_sharded_ll_ring_equals_allgather():
+    """Full filter likelihood: identical for both exchanges (the
+    resampled clouds are bitwise equal, so the whole scan is)."""
+    model = lgssm.make_model()
+    params = jnp.array([0.8, 0.5, 0.3])
+    _, ys = lgssm.simulate(jax.random.key(5), params, 30)
+    mesh = _particle_mesh(8)
+    f_ring = make_sharded_ll_callable(model, 256, mesh, exchange="ring")
+    f_ag = make_sharded_ll_callable(model, 256, mesh,
+                                    exchange="allgather")
+    for seed in (0, 1):
+        a = float(f_ring(jax.random.key(seed), params, jnp.asarray(ys)))
+        b = float(f_ag(jax.random.key(seed), params, jnp.asarray(ys)))
+        assert a == b, (a, b)
 
 
 def test_sharded_ll_close_to_unsharded():
