@@ -11,8 +11,26 @@ Metric: particle-propagations per second per chip =
 iters * chains * replicates * particles * T / wall_time.
 North star (BASELINE.json): >= 1e8 props/s/chip.
 
+Two schedules are measured and reported (VERDICT r1 "honest bench"):
+
+- ``parity``: resample EVERY step (ess_threshold=1.0) — the reference's
+  exact schedule (liu_west_filter.h:480-481 with rs=1, and pf's
+  bootstrap filter default).  Apples-to-apples.
+- ``adaptive``: ESS-gated resampling at threshold 0.5 — the standard
+  modern schedule (evidence estimator stays unbiased); the headline.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "parity": N, "adaptive": N}
+
+Modes (env BENCH_MODE):
+  flagship (default) — the two-schedule single-chip number above.
+  scaling            — sweep the chain axis over 1..D devices of the
+                       current platform and print per-device-count
+                       throughput + parallel efficiency (BASELINE.md
+                       north-star row: scaling efficiency at 1 chip /
+                       1 host / >= 2 hosts; on this rig: the 8-virtual-
+                       device CPU mesh or the single real chip).
 """
 
 import json
@@ -20,12 +38,19 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+
+def _sync(x):
+    """Reliable device sync: block_until_ready does not actually block
+    on the remote-tunnel platform; a host scalar fetch does."""
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
 
 
-def _measure(impl, num_particles, num_replicates, num_chains, num_iters, ys):
+def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
+             ys, ess_threshold, windows=2):
+    import jax
+    import jax.numpy as jnp
+
     from ssme_tpu.inference import AdaptivePMMH
     from ssme_tpu.models import svol
 
@@ -34,37 +59,160 @@ def _measure(impl, num_particles, num_replicates, num_chains, num_iters, ys):
     if impl == "pallas" and jax.devices()[0].platform == "tpu":
         from ssme_tpu.ops.svol_filter_kernel import (
             svol_pallas_batched_log_like)
-        # BENCH_ESS: resampling gate (0.5 = adaptive default; 1.0 =
-        # every-step, the reference's exact schedule)
-        ess_threshold = float(os.environ.get("BENCH_ESS", 0.5))
         batched_ll = svol_pallas_batched_log_like(
             num_particles, num_replicates, ess_threshold=ess_threshold)
+    resample_every = 1  # reference schedule for the XLA path
     pmmh = AdaptivePMMH(model, num_particles=num_particles,
                         num_replicates=num_replicates, t0=150, t1=1000,
-                        batched_log_like=batched_ll)
+                        batched_log_like=batched_ll,
+                        resample_every=resample_every)
     start = jnp.asarray(svol.START_TRANS_THETA)
 
     state = pmmh.init(jax.random.key(0), start, ys, num_chains=num_chains)
     run = jax.jit(lambda st: pmmh.run_from(st, num_iters, ys))
 
-    # compile + warm up.  NOTE: block_until_ready does not actually block
-    # on the remote-tunnel platform; a host scalar fetch is the only
-    # reliable synchronization point.
+    # compile + warm up
     res = run(state)
-    float(jnp.sum(res.samples))
+    _sync(res.samples)
     state = res.final_state
 
     best = float("inf")
-    for _ in range(2):
+    for _ in range(windows):
         t0 = time.perf_counter()
         res = run(state)
-        float(jnp.sum(res.samples))
+        _sync(res.samples)
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def main():
+def _flagship():
+    import jax
+    import jax.numpy as jnp
+
     from ssme_tpu.io import read_data
+
+    # workload scale (env-overridable for quick runs).  BENCH_ITERS=30:
+    # a >= 30-iteration timing window per VERDICT r1 (stable best-of-2).
+    num_particles = int(os.environ.get("BENCH_PARTICLES", 512))
+    num_replicates = int(os.environ.get("BENCH_REPLICATES", 16))
+    num_chains = int(os.environ.get("BENCH_CHAINS", 8))
+    num_iters = int(os.environ.get("BENCH_ITERS", 30))
+    impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
+    baseline = 1e8  # north-star props/s/chip (BASELINE.json)
+
+    data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "spy_returns.csv")
+    ys = jnp.asarray(read_data(data_path, num_cols=1))
+    t_len = ys.shape[0]
+
+    props = (num_iters * num_chains * num_replicates
+             * num_particles * t_len)
+    n_chips = max(1, len(jax.devices()))
+
+    def run_schedule(ess):
+        nonlocal impl
+        try:
+            elapsed = _measure(impl, num_particles, num_replicates,
+                               num_chains, num_iters, ys, ess)
+        except Exception as e:  # pallas path failed: fall back to XLA
+            print(f"bench impl {impl!r} failed ({type(e).__name__}: {e});"
+                  f" falling back to xla", file=sys.stderr)
+            impl = "xla"
+            elapsed = _measure(impl, num_particles, num_replicates,
+                               num_chains, num_iters, ys, ess)
+        return props / elapsed / n_chips, elapsed
+
+    # reference-parity schedule first (resample every step), then the
+    # adaptive headline
+    parity, t_parity = run_schedule(1.0)
+    adaptive, t_adaptive = run_schedule(
+        float(os.environ.get("BENCH_ESS", 0.5)))
+
+    print(json.dumps({
+        "metric": "pmmh_particle_propagations_per_sec_per_chip",
+        "value": adaptive,
+        "unit": "propagations/s/chip",
+        "vs_baseline": adaptive / baseline,
+        "parity": parity,
+        "adaptive": adaptive,
+    }))
+
+    # supporting detail on stderr (not part of the contract)
+    print(f"config: T={t_len} N={num_particles} R={num_replicates} "
+          f"C={num_chains} iters={num_iters} impl={impl} "
+          f"devices={n_chips} parity={parity:.3e} ({t_parity:.3f}s) "
+          f"adaptive={adaptive:.3e} ({t_adaptive:.3f}s)", file=sys.stderr)
+
+
+def _scaling():
+    """Chain-axis scaling sweep: throughput and parallel efficiency at
+    1..D devices (the thread-scaling envelope of thread_pool.h:131-137,
+    measured the TPU way: GSPMD-sharded chains over a mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssme_tpu import parallel
+    from ssme_tpu.inference import AdaptivePMMH
+    from ssme_tpu.io import read_data
+    from ssme_tpu.models import svol
+
+    num_particles = int(os.environ.get("BENCH_PARTICLES", 256))
+    num_replicates = int(os.environ.get("BENCH_REPLICATES", 2))
+    chains_per_dev = int(os.environ.get("BENCH_CHAINS", 2))
+    num_iters = int(os.environ.get("BENCH_ITERS", 10))
+    t_sub = int(os.environ.get("BENCH_T", 512))
+
+    data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "spy_returns.csv")
+    ys = jnp.asarray(read_data(data_path, num_cols=1))[:t_sub]
+    t_len = ys.shape[0]
+
+    devices = jax.devices()
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
+    model = svol.make_model()
+    pmmh = AdaptivePMMH(model, num_particles=num_particles,
+                        num_replicates=num_replicates, t0=150, t1=1000)
+    start = jnp.asarray(svol.START_TRANS_THETA)
+
+    rows = []
+    base_per_dev = None
+    for d in counts:
+        c = chains_per_dev * d
+        mesh = parallel.make_mesh(d, 1, devices=devices[:d])
+        state = pmmh.init(jax.random.key(0), start, ys, num_chains=c)
+        state = parallel.shard_chain_state(state, mesh)
+        run = parallel.jit_sharded_pmmh(pmmh, mesh, num_iters=num_iters)
+        res = run(state, ys)       # compile + warm
+        _sync(res.samples)
+        state = res.final_state
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = run(state, ys)
+            _sync(res.samples)
+            best = min(best, time.perf_counter() - t0)
+        props = num_iters * c * num_replicates * num_particles * t_len
+        thr = props / best
+        if base_per_dev is None:
+            base_per_dev = thr
+        eff = thr / (base_per_dev * d)
+        rows.append({"devices": d, "chains": c,
+                     "props_per_sec": thr, "parallel_efficiency": eff})
+        print(f"devices={d:3d} chains={c:4d} props/s={thr:.3e} "
+              f"efficiency={eff:.3f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "pmmh_chain_scaling",
+        "value": rows[-1]["parallel_efficiency"],
+        "unit": "parallel_efficiency_at_max_devices",
+        "vs_baseline": rows[-1]["parallel_efficiency"],
+        "platform": devices[0].platform,
+        "rows": rows,
+    }))
+
+
+def main():
+    import jax
 
     # persistent compile cache: the first compile via the remote service
     # is slow and occasionally flaky — cache across invocations
@@ -75,46 +223,11 @@ def main():
     except Exception:
         pass
 
-    # workload scale (env-overridable for quick runs)
-    num_particles = int(os.environ.get("BENCH_PARTICLES", 512))
-    num_replicates = int(os.environ.get("BENCH_REPLICATES", 16))
-    num_chains = int(os.environ.get("BENCH_CHAINS", 8))
-    num_iters = int(os.environ.get("BENCH_ITERS", 4))
-    impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
-    baseline = 1e8  # north-star props/s/chip (BASELINE.json)
-
-    data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "data", "spy_returns.csv")
-    ys = jnp.asarray(read_data(data_path, num_cols=1))
-    t_len = ys.shape[0]
-
-    try:
-        elapsed = _measure(impl, num_particles, num_replicates, num_chains,
-                           num_iters, ys)
-    except Exception as e:  # pallas path failed: fall back to generic XLA
-        print(f"bench impl {impl!r} failed ({type(e).__name__}: {e}); "
-              f"falling back to xla", file=sys.stderr)
-        impl = "xla"
-        elapsed = _measure(impl, num_particles, num_replicates, num_chains,
-                           num_iters, ys)
-
-    props = (num_iters * num_chains * num_replicates
-             * num_particles * t_len)
-    props_per_sec = props / elapsed
-    n_chips = max(1, len(jax.devices()))
-    value = props_per_sec / n_chips
-
-    print(json.dumps({
-        "metric": "pmmh_particle_propagations_per_sec_per_chip",
-        "value": value,
-        "unit": "propagations/s/chip",
-        "vs_baseline": value / baseline,
-    }))
-
-    # supporting detail on stderr (not part of the contract)
-    print(f"config: T={t_len} N={num_particles} R={num_replicates} "
-          f"C={num_chains} iters={num_iters} impl={impl} "
-          f"elapsed={elapsed:.3f}s devices={n_chips}", file=sys.stderr)
+    mode = os.environ.get("BENCH_MODE", "flagship")
+    if mode == "scaling":
+        _scaling()
+    else:
+        _flagship()
 
 
 if __name__ == "__main__":

@@ -240,6 +240,10 @@ class AdaptivePMMH:
             )(st.trans_theta, st.mean, st.sigma_hat, st.ct, st.key)
 
             if self.batched_log_like is not None:
+                # one key seeds the whole batched launch; per-(chain x
+                # replicate) streams are threefry-derived INSIDE the
+                # batched kernel (ops/_prng.tile_seeds), so cross-row
+                # independence does not rest on ad-hoc index mixing
                 params = self.model.transform.constrain(proposed)
                 if self.model.has_covariates:
                     new_ll = self.batched_log_like(k_like[0], params, ys, zs)

@@ -8,6 +8,7 @@ scalars, so grid indices must be mixed arithmetically.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,4 +48,21 @@ def normal_bits(shape):
     return r * jnp.cos(TWO_PI * u2)
 
 
-__all__ = ["uniform_bits", "normal_bits", "TWO_PI", "HALF_LOG_2PI"]
+def tile_seeds(seed, num_tiles: int):
+    """Per-grid-tile int32 seeds threefry-derived from one scalar seed.
+
+    The kernels seed the hardware PRNG once per grid cell; deriving the
+    per-tile values through ``jax.random`` (threefry) instead of an
+    additive/linear-congruential fold of the tile index guarantees the
+    streams of different filter tiles are cryptographically
+    decorrelated — the per-row independence that PMMH's replicate
+    averaging (``thread_pool.h:259-273``) assumes of its workers.
+    """
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+    info = jnp.iinfo(jnp.int32)
+    return jax.random.randint(key, (num_tiles,), minval=int(info.min),
+                              maxval=int(info.max), dtype=jnp.int32)
+
+
+__all__ = ["uniform_bits", "normal_bits", "tile_seeds", "TWO_PI",
+           "HALF_LOG_2PI"]

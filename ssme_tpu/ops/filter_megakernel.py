@@ -79,10 +79,22 @@ class KernelModel:
     dim_obs: int = 1
     dim_cov: int = 0
     functional: Callable = None   # default: first state leaf
+    # vector of per-particle filter functionals h_k(p, state) ->
+    # (TILE_B, n); each gets its own per-step normalized-mean output
+    # path (parity with the reference's vector of filter functions,
+    # pf_base::getExpectations driven at pswarm_filter.h:86-92).
+    # Overrides ``functional`` when set.
+    functionals: tuple = None
     # APF lookahead (propMu): (p, state, y, z) -> state-shaped tuple of
     # per-particle lookahead points; required for mode="apf"
     prop_mu: Callable = None
     name: str = "kernel_model"
+
+    @property
+    def functional_list(self):
+        if self.functionals is not None:
+            return tuple(self.functionals)
+        return (self.functional or (lambda p_, st: st[0]),)
 
 
 def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
@@ -93,14 +105,21 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
 
+    fns = kmodel.functional_list
+    n_fns = len(fns)
+
     def kernel(seed_ref, ys_ref, zs_ref, params_ref, lt_ref,
-               out_ref, fmean_ref, *scratch):
+               out_ref, *rest):
+        fmean_refs = rest[:n_fns]
+        scratch = rest[n_fns:]
         state_scr = scratch[:n_leaves]
         lw_scr = scratch[n_leaves]      # carried max-normalized log-wts
         carry_scr = scratch[n_leaves + 1]   # LSE(lw_scr) in every lane
         b = pl.program_id(0)
         tc = pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] + b * 1000003, tc)
+        # per-tile threefry-derived seed (see _prng.tile_seeds); tc is
+        # the second hardware-seed scalar so every grid cell reseeds
+        pltpu.prng_seed(seed_ref[b], tc)
 
         p = params_ref[:]                                    # (8, P)
 
@@ -154,20 +173,19 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             return [jnp.transpose(jnp.concatenate(cols[leaf], axis=1))
                     for leaf in range(n_l)]
 
-        def stage_outputs(t, lcl, fmean):
-            # stage into the revisited (8, 128) output block (flushed to
-            # HBM once per 128 steps); masked full-block write, zeroed
-            # at col 0
+        def stage_outputs(t, lcl, fmeans):
+            # stage into the revisited (8, 128) output blocks (flushed
+            # to HBM once per 128 steps); masked full-block write,
+            # zeroed at col 0
             col = jax.lax.rem(t, 128)
             lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
             base = jnp.where(col == 0, jnp.zeros_like(out_ref),
                              out_ref[:])
             out_ref[:] = jnp.where(lane == col, lcl, base)
-            base_f = jnp.where(col == 0, jnp.zeros_like(fmean_ref),
-                               fmean_ref[:])
-            fmean_ref[:] = jnp.where(lane == col, fmean, base_f)
-
-        fn = kmodel.functional or (lambda p_, st: st[0])
+            for fref, fmean in zip(fmean_refs, fmeans):
+                base_f = jnp.where(col == 0, jnp.zeros_like(fref),
+                                   fref[:])
+                fref[:] = jnp.where(lane == col, fmean, base_f)
 
         def weight_and_stage(t, y, z):
             """Shared tail: add this step's log_g to the carried
@@ -181,10 +199,10 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             lcl = (m + jnp.log(s)) - carry_scr[:, 0:1]
             lw_scr[:] = lw - m
             carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
-            h = fn(p, cur_state)
-            fmean = (jnp.sum(h * wnorm, axis=-1, keepdims=True)
-                     / s)                                    # (8, 1)
-            stage_outputs(t, lcl, fmean)
+            fmeans = [jnp.sum(fn(p, cur_state) * wnorm, axis=-1,
+                              keepdims=True) / s              # (8, 1)
+                      for fn in fns]
+            stage_outputs(t, lcl, fmeans)
 
         def init_t0(y, z):
             st0 = kmodel.init(_Rng, p, y, z, (TILE_B, n))
@@ -254,9 +272,11 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                    + (m2 + jnp.log(s2)) - log_n)
             lw_scr[:] = lw_new - m2
             carry_scr[:] = jnp.broadcast_to(jnp.log(s2), carry_scr.shape)
-            h = fn(p, tuple(s[:] for s in state_scr))
-            fmean = jnp.sum(h * w2, axis=-1, keepdims=True) / s2
-            stage_outputs(t, lcl, fmean)
+            cur_new = tuple(s[:] for s in state_scr)
+            fmeans = [jnp.sum(fn(p, cur_new) * w2, axis=-1,
+                              keepdims=True) / s2
+                      for fn in fns]
+            stage_outputs(t, lcl, fmeans)
 
         # K time steps per grid cell (amortizes the fixed per-cell
         # overhead, which dominates non-resampling cells under the
@@ -303,7 +323,10 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
 
     seed: int32 scalar; params: (B, num_params) constrained rows;
     ys: (T,) or (T, dim_obs); zs: (T, dim_cov) covariates (or None).
-    Returns ``(total (B,), per_step_lcl (B, T), functional_mean (B, T))``.
+    Returns ``(total (B,), per_step_lcl (B, T), functional_mean)``
+    where ``functional_mean`` is ``(B, T)`` for a single functional or
+    a tuple of ``(B, T)`` paths when the model declares a
+    ``functionals`` vector (``pf_base::getExpectations`` parity).
 
     ess_threshold: resample when the tile's worst-row ESS falls below
     this fraction of n (1.0 = every step; 0.5 = standard adaptive
@@ -365,8 +388,9 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         [zs, jnp.zeros((pad_steps * max(1, kmodel.dim_cov),), zs.dtype)])
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    seed_arr = _prng.tile_seeds(seed, b // TILE_B)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
+    n_fns = len(kmodel.functional_list)
 
     outs = pl.pallas_call(
         _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps),
@@ -383,10 +407,8 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             out_specs=[
                 pl.BlockSpec((TILE_B, 128),
                              lambda i, t, *_: (i, (t * k_steps) // 128),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_B, 128),
-                             lambda i, t, *_: (i, (t * k_steps) // 128),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.VMEM)
+                for _ in range(1 + n_fns)      # lcl + one per functional
             ],
             scratch_shapes=(
                 [pltpu.VMEM((TILE_B, n), jnp.float32)
@@ -395,14 +417,16 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                    pltpu.VMEM((TILE_B, 128), jnp.float32)]),  # LSE carry
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad), jnp.float32)
+            for _ in range(1 + n_fns)
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, ys, zs, params, lt)
-    lcls, fmeans = outs
-    lcls = lcls[:, :t_len]
-    return jnp.sum(lcls, axis=-1), lcls, fmeans[:, :t_len]
+    lcls = outs[0][:, :t_len]
+    fmeans = tuple(f[:, :t_len] for f in outs[1:])
+    if n_fns == 1:
+        fmeans = fmeans[0]
+    return jnp.sum(lcls, axis=-1), lcls, fmeans
 
 
 def megakernel_log_like(kmodel: KernelModel, num_particles: int,
@@ -437,11 +461,17 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
 
 def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
                               zs=None, num_particles: int = 512,
-                              ess_threshold: float = 1.0):
+                              ess_threshold: float = 1.0,
+                              interpret: bool = False):
     """Swarm conditional evidence for any kernel model: one filter per
     parameter draw, per-step aggregation across models
     (``pswarm_filter.h:86-160`` semantics; cf.
-    ``svol_filter_kernel.svol_swarm_evidence_pallas``)."""
+    ``svol_filter_kernel.svol_swarm_evidence_pallas``).
+
+    ``functional_paths`` carries one swarm-averaged (T,) path PER
+    functional in the model's ``functionals`` vector
+    (``pf_base::getExpectations`` driven at ``pswarm_filter.h:86-92``);
+    ``functional_path`` remains the first for the common scalar case."""
     p = jnp.asarray(param_draws, jnp.float32)
     m_models = p.shape[0]
     b = ((m_models + TILE_B - 1) // TILE_B) * TILE_B
@@ -449,13 +479,18 @@ def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
     batch = jnp.concatenate([p, pad], axis=0)
     _, lcls, fmeans = filter_megakernel(kmodel, seed, batch, ys, zs,
                                         num_particles=num_particles,
-                                        ess_threshold=ess_threshold)
+                                        ess_threshold=ess_threshold,
+                                        interpret=interpret)
     lcls = lcls[:m_models]
+    if not isinstance(fmeans, tuple):
+        fmeans = (fmeans,)
+    paths = tuple(jnp.mean(f[:m_models], axis=0) for f in fmeans)
     return {
         "log_cond_like": logmeanexp(lcls, axis=0),
         "mean_log_cond_like": jnp.mean(lcls, axis=0),
         "per_model_log_cond_likes": lcls,
-        "functional_path": jnp.mean(fmeans[:m_models], axis=0),
+        "functional_path": paths[0],
+        "functional_paths": paths,
     }
 
 

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 normal_bits as _normal_bits,
+                                tile_seeds as _tile_seeds,
                                 uniform_bits as _uniform_bits)
 from ssme_tpu.utils import logmeanexp
 
@@ -57,8 +58,9 @@ def _make_kernel(num_particles: int, ess_frac: float,
                x_scr, lw_scr, carry_scr):
         b = pl.program_id(0)
         tc = pl.program_id(1)
-        # prng_seed accepts at most 2 values; mix the tile index in
-        pltpu.prng_seed(seed_ref[0] + b * 1000003, tc)
+        # per-tile threefry-derived seed (_prng.tile_seeds); tc is the
+        # second hardware-seed scalar so every grid cell reseeds
+        pltpu.prng_seed(seed_ref[b], tc)
 
         beta = params_ref[:, 0:1]
         phi = params_ref[:, 1:2]
@@ -226,7 +228,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
         [ys, jnp.zeros((t_cells * k_steps - t_len,), ys.dtype)])
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)  # [k<=i] as k x i
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    seed_arr = _tile_seeds(seed, b // TILE_B)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
 
     lcls = pl.pallas_call(

@@ -34,7 +34,7 @@ try:  # pallas may be unavailable on some backends
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from ssme_tpu.ops._prng import HALF_LOG_2PI, normal_bits
+    from ssme_tpu.ops._prng import HALF_LOG_2PI, normal_bits, tile_seeds
     _PALLAS_OK = True
 except Exception:  # pragma: no cover
     pl = None
@@ -58,9 +58,10 @@ def _kernel(seed_ref, y_ref, params_ref, x_ref, lw_ref, out_x_ref,
             out_lw_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # distinct stream per grid cell and per call
-    # prng_seed accepts at most 2 values; mix the tile indices
-    pltpu.prng_seed(seed_ref[0] + i * 1000003, j)
+    # distinct stream per grid cell and per call: per-batch-tile
+    # threefry-derived seed (_prng.tile_seeds) + particle-tile index as
+    # the second hardware-seed scalar
+    pltpu.prng_seed(seed_ref[i], j)
 
     eps = normal_bits(x_ref.shape)
 
@@ -91,7 +92,7 @@ def fused_svol_propagate_weight(seed, y, params, x, logw, interpret=False):
         raise ValueError(f"(B, N)=({b}, {n}) must tile to "
                          f"({TILE_B}, {TILE_N})")
     grid = (b // TILE_B, n // TILE_N)
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    seed_arr = tile_seeds(seed, b // TILE_B)
     y_arr = jnp.asarray([y], dtype=jnp.float32).reshape(1)
 
     out_x, out_lw = pl.pallas_call(

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 normal_bits as _normal_bits,
+                                tile_seeds as _tile_seeds,
                                 uniform_bits as _uniform_bits)
 
 TILE = 8
@@ -92,7 +93,9 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                s_scr, gram_scr):
         f = pl.program_id(0)
         tc = pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] + f * 1000003, tc)
+        # per-filter threefry-derived seed (_prng.tile_seeds); tc is the
+        # second hardware-seed scalar so every grid cell reseeds
+        pltpu.prng_seed(seed_ref[f], tc)
 
         def stage_lcl(t, lcl_val):
             col = jax.lax.rem(t, 128)
@@ -355,7 +358,7 @@ def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
         [ys, jnp.zeros((t_cells * k_steps - t_len,), ys.dtype)])
 
     lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    seed_arr = _tile_seeds(seed, num_filters)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
 
     if variant not in ("apf", "sisr"):

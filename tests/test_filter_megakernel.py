@@ -44,6 +44,43 @@ def test_shape_validation():
                           interpret=True)
 
 
+def test_tile_seeds_threefry_derivation():
+    """Per-tile kernel seeds are threefry-derived (VERDICT r1 #8): all
+    distinct, seed-sensitive, and not an affine function of the tile
+    index (the old ``seed + b * 1000003`` fold was)."""
+    from ssme_tpu.ops._prng import tile_seeds
+
+    s = np.asarray(tile_seeds(42, 64)).astype(np.int64)
+    assert len(np.unique(s)) == 64
+    assert not np.array_equal(s, np.asarray(tile_seeds(43, 64)))
+    diffs = np.diff(s)
+    assert len(np.unique(diffs)) > 1  # not affine in the index
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")
+def test_cross_row_stream_independence():
+    """PMMH's replicate averaging assumes independent likelihood streams
+    across batched kernel rows (thread_pool.h:259-273 semantics).  With
+    IDENTICAL parameters in every row, per-row log-likelihood estimates
+    over repeated seeds must be uncorrelated across rows (VERDICT r1 #8:
+    correlation of likelihood estimates across rows ~ 0)."""
+    km = svol_kernel_model()
+    t_len, b, s_reps = 64, 16, 32
+    ys = 0.5 * jax.random.normal(jax.random.key(1), (t_len,))
+    rows = jnp.broadcast_to(jnp.array([1.0, 0.9, 0.2]), (b, 3))
+    run = jax.jit(lambda s: filter_megakernel(
+        km, s, rows, ys, num_particles=256)[0])
+    m = np.stack([np.asarray(run(s)) for s in range(s_reps)])  # (S, B)
+    # within one launch every row draws a distinct stream
+    assert len(np.unique(m[0])) == b
+    c = np.corrcoef(m.T)                                       # (B, B)
+    off = c[~np.eye(b, dtype=bool)]
+    # Fisher-z SE = 1/sqrt(S-3) ~ .19; max |corr| over 240 pairs stays
+    # well under .8 for independent streams
+    assert np.max(np.abs(off)) < 0.8
+    assert abs(np.mean(off)) < 0.25
+
+
 def test_builtin_kernel_models_are_memoized():
     # KernelModel is register_static with eq=False (identity caching in
     # jit) — repeated factory calls must return the SAME object or every
@@ -354,6 +391,82 @@ def test_kernel_systematic_resampling_law():
     expected = float((w * x).sum())
     got = np.asarray(fmeans)[:, 1]
     assert np.all(np.abs(got - expected) < 2.0 / n), (got, expected)
+
+
+def test_vector_functionals_paths():
+    """A ``functionals`` vector gets one per-step normalized-mean path
+    each (pf_base::getExpectations parity, VERDICT r1 #6).  Deterministic
+    cloud + identity propagation makes the exact values checkable under
+    the interpret-mode PRNG stub, including the constant-42 invariance
+    check of the reference tests (test_pswarm.cpp:239-252)."""
+    n = 256
+
+    def init(rng, p, y, z, shape):
+        return (jax.lax.broadcasted_iota(
+            jnp.float32, shape, 1) / float(n),)
+
+    def propagate(rng, p, state, y, z):
+        return state
+
+    def log_weight(p, state, y, z):
+        (x,) = state
+        return jnp.where(y[0] > 0.5, 3.0 * x, jnp.zeros_like(x))
+
+    km = KernelModel(
+        num_params=1, init=init, propagate=propagate,
+        log_weight=log_weight,
+        functionals=(lambda p, st: st[0],
+                     lambda p, st: st[0] * st[0],
+                     lambda p, st: jnp.full_like(st[0], 42.0)),
+        name="vecfn")
+    ys = jnp.array([1.0, 0.0])
+    params = jnp.zeros((8, 1), jnp.float32)
+    _, _, fmeans = filter_megakernel(km, 9, params, ys,
+                                     num_particles=n, interpret=True)
+    assert isinstance(fmeans, tuple) and len(fmeans) == 3
+    assert all(f.shape == (8, 2) for f in fmeans)
+    x = np.arange(n) / n
+    w = np.exp(3.0 * x)
+    w /= w.sum()
+    # t=0: exact self-normalized means under the geometric weights
+    np.testing.assert_allclose(np.asarray(fmeans[0])[:, 0],
+                               float((w * x).sum()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fmeans[1])[:, 0],
+                               float((w * x * x).sum()), rtol=1e-5)
+    # constant functional == 42 exactly, both steps (normalization check)
+    np.testing.assert_allclose(np.asarray(fmeans[2]), 42.0, rtol=1e-6)
+    # t=1: post-resampling cloud, within the systematic deterministic
+    # bound of the weighted mean
+    assert np.all(np.abs(np.asarray(fmeans[0])[:, 1]
+                         - float((w * x).sum())) < 2.0 / n)
+
+
+def test_vector_functionals_swarm_paths():
+    def init(rng, p, y, z, shape):
+        return (jnp.zeros(shape),)
+
+    def propagate(rng, p, state, y, z):
+        return state
+
+    def log_weight(p, state, y, z):
+        return jnp.zeros_like(state[0])
+
+    km = KernelModel(
+        num_params=1, init=init, propagate=propagate,
+        log_weight=log_weight,
+        functionals=(lambda p, st: jnp.full_like(st[0], 7.0),
+                     lambda p, st: jnp.full_like(st[0], 42.0)),
+        name="vecfn_swarm")
+    draws = jnp.zeros((12, 1))
+    ev = megakernel_swarm_evidence(km, 3, draws, jnp.ones(6),
+                                   num_particles=128, interpret=True)
+    assert len(ev["functional_paths"]) == 2
+    np.testing.assert_allclose(np.asarray(ev["functional_paths"][0]), 7.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ev["functional_paths"][1]), 42.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ev["functional_path"]), 7.0,
+                               rtol=1e-6)
 
 
 def test_svol_t_kernel_log_weight_matches_model():
