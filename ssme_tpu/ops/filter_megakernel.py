@@ -57,6 +57,14 @@ from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
 
+# Hard ceiling for the in-kernel particle axis: the gather-free
+# systematic resampler keeps an (n, n) lower-triangular CDF matrix and
+# (n, n) one-hot selection intermediates in VMEM — n^2 floats.  Above
+# this, use the XLA path (filters.BootstrapFilter / the automatic
+# dispatch in megakernel_log_like) or shard the particle axis
+# (parallel.sharded_pf).  Measured on TPU v5e (see docs/performance.md).
+MAX_KERNEL_PARTICLES = 1024
+
 
 class _Rng:
     """In-kernel PRNG namespace handed to model hooks."""
@@ -360,12 +368,13 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         raise ValueError(f"B={b} must be a multiple of {TILE_B}")
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
-    if n > 1024:
+    if n > MAX_KERNEL_PARTICLES:
         raise ValueError(
             f"num_particles={n}: the in-VMEM lower-triangular CDF matrix "
-            "is n^2 floats; above 1024 it exceeds scoped VMEM. Use the "
-            "XLA path (filters.BootstrapFilter) or shard the particle "
-            "axis (parallel.sharded_pf) for larger clouds.")
+            f"is n^2 floats; above {MAX_KERNEL_PARTICLES} it exceeds "
+            "scoped VMEM. Use the XLA path (filters.BootstrapFilter, or "
+            "megakernel_log_like's automatic dispatch via model=) or "
+            "shard the particle axis (parallel.sharded_pf).")
     if params.shape[1] != kmodel.num_params:
         raise ValueError(f"params rows must have {kmodel.num_params} cols")
     if mode not in ("bootstrap", "apf"):
@@ -431,7 +440,7 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
 
 def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                         num_replicates: int, constrain=None,
-                        ess_threshold: float = 0.5):
+                        ess_threshold: float = 0.5, model=None):
     """PMMH ``batched_log_like`` hook for any kernel model: all chains x
     replicates in one launch, per-chain log-mean-exp over replicates
     (``thread_pool.h:259-273`` semantics).
@@ -439,8 +448,43 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
     ``constrain``: optional (C, P)->(C, P') map from the PMMH parameter
     vector to kernel parameter rows (e.g. sigma^2 -> sigma).
     Returns ``ll(key, params (C, P), ys[, zs]) -> (C,)``.
+
+    Large-N bridge: above :data:`MAX_KERNEL_PARTICLES` the in-VMEM
+    kernel cannot run; pass the matching :class:`StateSpaceModel` as
+    ``model`` and the returned hook transparently dispatches to the
+    generic XLA filter bank (``vmap`` over chains x replicates) at the
+    same statistical config — PMMH code needs no changes when the cloud
+    outgrows VMEM.  (The generic path consumes the PMMH parameter
+    vector directly; ``constrain`` is kernel-row plumbing and ignored.)
     """
     r = num_replicates
+
+    if num_particles > MAX_KERNEL_PARTICLES:
+        if model is None:
+            raise ValueError(
+                f"num_particles={num_particles} exceeds the megakernel "
+                f"cap ({MAX_KERNEL_PARTICLES}); pass the matching "
+                "StateSpaceModel as model= to dispatch to the generic "
+                "XLA path, or shard the particle axis "
+                "(parallel.sharded_pf)")
+        from ssme_tpu.filters.bootstrap import BootstrapFilter
+        bf = BootstrapFilter(
+            model, num_particles, resample_every=1,
+            ess_threshold=(None if ess_threshold >= 1.0
+                           else float(ess_threshold)))
+
+        def ll_xla(key, params, ys, zs=None):
+            c = params.shape[0]
+            keys = jax.random.split(key, c * r).reshape(c, r)
+            if model.has_covariates:
+                run1 = lambda k, p: bf.run(k, p, ys, zs).log_likelihood
+            else:
+                run1 = lambda k, p: bf.run(k, p, ys).log_likelihood
+            vals = jax.vmap(lambda ks, p: jax.vmap(
+                lambda k: run1(k, p))(ks))(keys, params)     # (C, R)
+            return logmeanexp(vals, axis=-1)
+
+        return ll_xla
 
     def ll(key, params, ys, zs=None):
         c = params.shape[0]
