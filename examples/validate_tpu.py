@@ -23,6 +23,10 @@ Checks:
   7. Linear-Gaussian 2-leaf factory kernel vs exact Kalman filter
      (within Jensen bias + MC tolerance)
   8. Factory APF mode vs the XLA AuxiliaryParticleFilter (statistical)
+  9. LW FACTORY instance vs the hand-written LW kernel (bit-exact on
+     hardware PRNG, both variants)
+ 10. svol_t through the LW factory: joint posterior recovery on
+     simulated data (weak reference-style bounds)
 """
 
 import argparse
@@ -225,6 +229,38 @@ def main(argv=None):
     check("apf kernel vs xla", gap < tol,
           f"kernel {float(tot_apf.mean()):.2f} xla "
           f"{float(ref_apf.mean()):.2f} gap {gap:.2f} < tol {tol:.2f}")
+
+    # ---- 9. LW factory vs hand kernel (bit-exact, hardware PRNG) ---------
+    import ssme_tpu.ops.liu_west_megakernel as lwm
+    km_lev_lw = lwm.svol_leverage_lw_kernel_model()
+    for variant in ("apf", "sisr"):
+        hand = svol_leverage_lw_pallas(31, ysl, num_filters=4,
+                                       num_particles=N, variant=variant)
+        fac = lwm.lw_megakernel(km_lev_lw, 31, ysl, zs=zsl, num_filters=4,
+                                num_particles=N, variant=variant)
+        bitgap = float(jnp.max(jnp.abs(hand["log_cond_likes"]
+                                       - fac["log_cond_likes"])))
+        cloudgap = float(jnp.max(jnp.abs(hand["cloud"] - fac["cloud"])))
+        check(f"lw factory bit-exact ({variant})",
+              bitgap == 0.0 and cloudgap == 0.0,
+              f"max |lcl gap| = {bitgap}, max |cloud gap| = {cloudgap}")
+
+    # ---- 10. svol_t through the LW factory: posterior recovery -----------
+    from ssme_tpu.models import svol_t
+    true_t = jnp.array([1.0, 0.9, 0.09, 5.0])     # beta, phi, ss, nu
+    _, ys_t = svol_t.simulate(jax.random.key(9), true_t, max(T, 300))
+    km_t = lwm.svol_t_lw_kernel_model(nu=5.0)
+    out_t = lwm.lw_megakernel(km_t, 37, ys_t.reshape(-1), num_filters=8,
+                              num_particles=N)
+    params_t = lwm.lw_cloud_params(km_t, out_t["cloud"])
+    w_t = lwm.lw_cloud_weights(km_t, out_t["cloud"])
+    post = np.asarray((params_t * w_t[..., None]).sum(axis=1).mean(axis=0))
+    ll_ok = bool(np.isfinite(np.asarray(out_t["log_likelihood"])).all())
+    ok = (ll_ok and 0.5 < post[0] < 2.0 and 0.7 < post[1] < 0.99
+          and 0.05 < post[2] < 1.0)
+    check("svol_t lw factory recovery", ok,
+          f"post mean (beta, phi, sigma) = {np.round(post, 3)} "
+          f"(truth ~ (1.0, 0.9, 0.3)), ll finite = {ll_ok}")
 
     print()
     if FAILURES:

@@ -13,8 +13,18 @@ from ssme_tpu.ops.svol_leverage_lw_kernel import (
     lw_cloud_params,
     lw_cloud_weights,
 )
+from ssme_tpu.ops.liu_west_megakernel import (
+    LWKernelModel,
+    lw_megakernel,
+    svol_leverage_lw_kernel_model,
+    svol_t_lw_kernel_model,
+)
 
 __all__ = [
+    "LWKernelModel",
+    "lw_megakernel",
+    "svol_leverage_lw_kernel_model",
+    "svol_t_lw_kernel_model",
     "fused_svol_propagate_weight",
     "pallas_available",
     "svol_filter_pallas",

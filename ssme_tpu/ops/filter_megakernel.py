@@ -62,7 +62,7 @@ TILE_B = 8
 # (n, n) one-hot selection intermediates in VMEM — n^2 floats.  Above
 # this, use the XLA path (filters.BootstrapFilter / the automatic
 # dispatch in megakernel_log_like) or shard the particle axis
-# (parallel.sharded_pf).  Measured on TPU v5e (see docs/performance.md).
+# (parallel.sharded_pf).  Measured on TPU v5e (see docs/kernels.md).
 MAX_KERNEL_PARTICLES = 1024
 
 
