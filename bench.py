@@ -46,6 +46,21 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
+def _time_best(run, state, windows=2):
+    """Compile + warm once, then best-of-``windows`` timing (see _sync
+    for the remote-tunnel synchronization caveat)."""
+    res = run(state)
+    _sync(res.samples)
+    state = res.final_state
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        res = run(state)
+        _sync(res.samples)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
              ys, ess_threshold, windows=2):
     import jax
@@ -55,34 +70,29 @@ def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
     from ssme_tpu.models import svol
 
     model = svol.make_model()
-    batched_ll = None
     if impl == "pallas" and jax.devices()[0].platform == "tpu":
         from ssme_tpu.ops.svol_filter_kernel import (
             svol_pallas_batched_log_like)
         batched_ll = svol_pallas_batched_log_like(
             num_particles, num_replicates, ess_threshold=ess_threshold)
-    resample_every = 1  # reference schedule for the XLA path
+    else:
+        # generic XLA filter bank with the SAME schedule semantics:
+        # ess_threshold must reach this path too, or the "adaptive"
+        # schedule would silently re-measure the parity configuration
+        from ssme_tpu.filters import replicated_log_like_fn
+        batched_ll = replicated_log_like_fn(
+            model, num_particles, num_replicates, resample_every=1,
+            ess_threshold=(None if ess_threshold >= 1.0
+                           else float(ess_threshold)))
     pmmh = AdaptivePMMH(model, num_particles=num_particles,
                         num_replicates=num_replicates, t0=150, t1=1000,
                         batched_log_like=batched_ll,
-                        resample_every=resample_every)
+                        resample_every=1)
     start = jnp.asarray(svol.START_TRANS_THETA)
 
     state = pmmh.init(jax.random.key(0), start, ys, num_chains=num_chains)
     run = jax.jit(lambda st: pmmh.run_from(st, num_iters, ys))
-
-    # compile + warm up
-    res = run(state)
-    _sync(res.samples)
-    state = res.final_state
-
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        res = run(state)
-        _sync(res.samples)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return _time_best(run, state, windows)
 
 
 def _flagship():
@@ -120,13 +130,19 @@ def _flagship():
             impl = "xla"
             elapsed = _measure(impl, num_particles, num_replicates,
                                num_chains, num_iters, ys, ess)
-        return props / elapsed / n_chips, elapsed
+        return props / elapsed / n_chips, elapsed, impl
 
     # reference-parity schedule first (resample every step), then the
     # adaptive headline
-    parity, t_parity = run_schedule(1.0)
-    adaptive, t_adaptive = run_schedule(
+    parity, t_parity, impl_parity = run_schedule(1.0)
+    adaptive, t_adaptive, impl_adaptive = run_schedule(
         float(os.environ.get("BENCH_ESS", 0.5)))
+    if impl_parity != impl_adaptive:
+        # a mid-run fallback mixed implementations: the two schedule
+        # numbers are no longer comparable to each other
+        print(f"WARNING: parity measured on {impl_parity!r} but adaptive "
+              f"on {impl_adaptive!r} (fallback mid-run) — the schedule "
+              "comparison is cross-implementation", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pmmh_particle_propagations_per_sec_per_chip",
@@ -135,11 +151,13 @@ def _flagship():
         "vs_baseline": adaptive / baseline,
         "parity": parity,
         "adaptive": adaptive,
+        "impl": {"parity": impl_parity, "adaptive": impl_adaptive},
     }))
 
     # supporting detail on stderr (not part of the contract)
     print(f"config: T={t_len} N={num_particles} R={num_replicates} "
-          f"C={num_chains} iters={num_iters} impl={impl} "
+          f"C={num_chains} iters={num_iters} "
+          f"impl={impl_parity}/{impl_adaptive} "
           f"devices={n_chips} parity={parity:.3e} ({t_parity:.3f}s) "
           f"adaptive={adaptive:.3e} ({t_adaptive:.3f}s)", file=sys.stderr)
 
@@ -181,16 +199,8 @@ def _scaling():
         mesh = parallel.make_mesh(d, 1, devices=devices[:d])
         state = pmmh.init(jax.random.key(0), start, ys, num_chains=c)
         state = parallel.shard_chain_state(state, mesh)
-        run = parallel.jit_sharded_pmmh(pmmh, mesh, num_iters=num_iters)
-        res = run(state, ys)       # compile + warm
-        _sync(res.samples)
-        state = res.final_state
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            res = run(state, ys)
-            _sync(res.samples)
-            best = min(best, time.perf_counter() - t0)
+        run_d = parallel.jit_sharded_pmmh(pmmh, mesh, num_iters=num_iters)
+        best = _time_best(lambda st: run_d(st, ys), state)
         props = num_iters * c * num_replicates * num_particles * t_len
         thr = props / best
         if base_per_dev is None:

@@ -256,11 +256,15 @@ def main(argv=None):
     w_t = lwm.lw_cloud_weights(km_t, out_t["cloud"])
     post = np.asarray((params_t * w_t[..., None]).sum(axis=1).mean(axis=0))
     ll_ok = bool(np.isfinite(np.asarray(out_t["log_likelihood"])).all())
-    ok = (ll_ok and 0.5 < post[0] < 2.0 and 0.7 < post[1] < 0.99
-          and 0.05 < post[2] < 1.0)
+    # falsifiable vs the prior means (1.25, 0.795, 0.525): beta and
+    # sigma must land strictly truth-side of the prior mean; phi is
+    # weakly identified at this T (t-tails mask the AR signal)
+    ok = (ll_ok and 0.8 < post[0] < 1.2 and 0.6 < post[1] < 0.99
+          and 0.1 < post[2] < 0.45)
     check("svol_t lw factory recovery", ok,
           f"post mean (beta, phi, sigma) = {np.round(post, 3)} "
-          f"(truth ~ (1.0, 0.9, 0.3)), ll finite = {ll_ok}")
+          f"(truth (1.0, 0.9, 0.3); prior means (1.25, 0.795, 0.525)), "
+          f"ll finite = {ll_ok}")
 
     print()
     if FAILURES:

@@ -2,6 +2,7 @@ from ssme_tpu.filters.bootstrap import (
     BootstrapFilter,
     FilterResult,
     log_likelihood_fn,
+    replicated_log_like_fn,
 )
 from ssme_tpu.filters.liu_west import LiuWestFilter, LiuWestResult
 from ssme_tpu.filters.auxiliary import AuxiliaryParticleFilter
@@ -11,6 +12,7 @@ __all__ = [
     "BootstrapFilter",
     "FilterResult",
     "log_likelihood_fn",
+    "replicated_log_like_fn",
     "LiuWestFilter",
     "LiuWestResult",
     "AuxiliaryParticleFilter",

@@ -270,4 +270,43 @@ def log_likelihood_fn(model: StateSpaceModel, num_particles: int,
     return ll
 
 
-__all__ = ["BootstrapFilter", "FilterResult", "log_likelihood_fn"]
+def replicated_log_like_fn(model: StateSpaceModel, num_particles: int,
+                           num_replicates: int,
+                           resampler: str = "systematic",
+                           resample_every: int = 1,
+                           ess_threshold: float = None):
+    """Batched PMMH likelihood hook on the generic XLA path:
+    ``(key, params (C, P), ys[, zs]) -> (C,)`` — per chain, the
+    log-mean-exp of ``num_replicates`` independent filter likelihoods
+    (the averaging thread pool's reduction, ``thread_pool.h:259-273``),
+    as a ``vmap`` x ``vmap`` filter bank.
+
+    The single shared implementation behind ``AdaptivePMMH``'s
+    ``batched_log_like`` when the Pallas kernels don't apply: the
+    megakernel large-N bridge (``ops.filter_megakernel
+    .megakernel_log_like(model=...)``) and ``bench.py``'s XLA impl both
+    route here, with ``ess_threshold`` honored (None = the reference's
+    every-step schedule)."""
+    from ssme_tpu.utils import logmeanexp
+
+    bf = BootstrapFilter(model, num_particles, resampler=resampler,
+                         resample_every=resample_every,
+                         ess_threshold=ess_threshold)
+    r = num_replicates
+
+    def batched(key, params, ys, zs=None):
+        c = params.shape[0]
+        keys = jax.random.split(key, c * r).reshape(c, r)
+        if model.has_covariates:
+            run1 = lambda k, p: bf.run(k, p, ys, zs).log_likelihood
+        else:
+            run1 = lambda k, p: bf.run(k, p, ys).log_likelihood
+        vals = jax.vmap(lambda ks, p: jax.vmap(
+            lambda k: run1(k, p))(ks))(keys, params)          # (C, R)
+        return logmeanexp(vals, axis=-1)
+
+    return batched
+
+
+__all__ = ["BootstrapFilter", "FilterResult", "log_likelihood_fn",
+           "replicated_log_like_fn"]

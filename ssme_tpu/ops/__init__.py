@@ -19,8 +19,19 @@ from ssme_tpu.ops.liu_west_megakernel import (
     svol_leverage_lw_kernel_model,
     svol_t_lw_kernel_model,
 )
+# the factory's cloud decoders take (kmodel, cloud) and work for ANY
+# LWKernelModel; aliased so they don't shadow the hand kernel's
+# leverage-specific lw_cloud_params/lw_cloud_weights above
+from ssme_tpu.ops.liu_west_megakernel import (
+    lw_cloud_params as lw_factory_cloud_params,
+    lw_cloud_weights as lw_factory_cloud_weights,
+    lw_cloud_states as lw_factory_cloud_states,
+)
 
 __all__ = [
+    "lw_factory_cloud_states",
+    "lw_factory_cloud_weights",
+    "lw_factory_cloud_params",
     "LWKernelModel",
     "lw_megakernel",
     "svol_leverage_lw_kernel_model",

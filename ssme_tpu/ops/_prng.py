@@ -48,6 +48,19 @@ def normal_bits(shape):
     return r * jnp.cos(TWO_PI * u2)
 
 
+def uniform_offset(shape):
+    """Systematic-resampling offset: U in (0, 1), never exactly 0.
+
+    ``uniform_bits`` is U[0, 1) inclusive of 0; a 0.0 offset makes the
+    first systematic point u_0 = 0, which the half-open interval test
+    ``(cdf >= u) & (cdf_ex < u)`` rejects for EVERY source lane
+    (cdf_ex[0] is pinned to 0 and 0 < 0 is false) — ancestor slot 0
+    would come back all-zero.  Mapping the 0 atom to the next grid
+    point (2^-32) removes that corruption; every other draw is
+    bit-identical."""
+    return jnp.maximum(uniform_bits(shape), _INV_2_32)
+
+
 def tile_seeds(seed, num_tiles: int):
     """Per-grid-tile int32 seeds threefry-derived from one scalar seed.
 
@@ -64,5 +77,5 @@ def tile_seeds(seed, num_tiles: int):
                               maxval=int(info.max), dtype=jnp.int32)
 
 
-__all__ = ["uniform_bits", "normal_bits", "tile_seeds", "TWO_PI",
-           "HALF_LOG_2PI"]
+__all__ = ["uniform_bits", "normal_bits", "uniform_offset", "tile_seeds",
+           "TWO_PI", "HALF_LOG_2PI"]

@@ -106,7 +106,8 @@ class KernelModel:
 
 
 def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
-                 mode: str = "bootstrap", steps_per_cell: int = 1):
+                 mode: str = "bootstrap", steps_per_cell: int = 1,
+                 num_tiles: int = 1):
     n = num_particles
     n_leaves = kmodel.num_state
     k_steps = steps_per_cell
@@ -125,9 +126,11 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
         carry_scr = scratch[n_leaves + 1]   # LSE(lw_scr) in every lane
         b = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-tile threefry-derived seed (see _prng.tile_seeds); tc is
-        # the second hardware-seed scalar so every grid cell reseeds
-        pltpu.prng_seed(seed_ref[b], tc)
+        # per-tile threefry-derived seed (_prng.tile_seeds); the second
+        # hardware-seed scalar mixes the grid cell AND the tile index so
+        # every cell reseeds and two tiles whose iid threefry seeds
+        # collide (prob ~2^-32 per pair) still get distinct streams
+        pltpu.prng_seed(seed_ref[b], tc * num_tiles + b)
 
         p = params_ref[:]                                    # (8, P)
 
@@ -158,7 +161,7 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             lane0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n), 1)
             cdf_ex = jnp.where(lane0 == 0, 0.0,
                                pltpu.roll(cdf, shift=1, axis=1))
-            u0 = _prng.uniform_bits((TILE_B, 1))             # (8, 1)
+            u0 = _prng.uniform_offset((TILE_B, 1))           # (8, 1)
             xt = jnp.concatenate(
                 [jnp.transpose(leaf) for leaf in leaves],
                 axis=1)                                      # (n, 8L)
@@ -402,7 +405,8 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     n_fns = len(kmodel.functional_list)
 
     outs = pl.pallas_call(
-        _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps),
+        _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps,
+                     b // TILE_B),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(b // TILE_B, t_cells),
@@ -467,24 +471,11 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                 "StateSpaceModel as model= to dispatch to the generic "
                 "XLA path, or shard the particle axis "
                 "(parallel.sharded_pf)")
-        from ssme_tpu.filters.bootstrap import BootstrapFilter
-        bf = BootstrapFilter(
-            model, num_particles, resample_every=1,
+        from ssme_tpu.filters.bootstrap import replicated_log_like_fn
+        return replicated_log_like_fn(
+            model, num_particles, r,
             ess_threshold=(None if ess_threshold >= 1.0
                            else float(ess_threshold)))
-
-        def ll_xla(key, params, ys, zs=None):
-            c = params.shape[0]
-            keys = jax.random.split(key, c * r).reshape(c, r)
-            if model.has_covariates:
-                run1 = lambda k, p: bf.run(k, p, ys, zs).log_likelihood
-            else:
-                run1 = lambda k, p: bf.run(k, p, ys).log_likelihood
-            vals = jax.vmap(lambda ks, p: jax.vmap(
-                lambda k: run1(k, p))(ks))(keys, params)     # (C, R)
-            return logmeanexp(vals, axis=-1)
-
-        return ll_xla
 
     def ll(key, params, ys, zs=None):
         c = params.shape[0]

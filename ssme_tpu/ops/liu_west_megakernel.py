@@ -131,6 +131,14 @@ class LWKernelModel:
         for c in self.transform_codes:
             if c not in _CODES:
                 raise ValueError(f"unknown transform code {c!r}")
+        if (self.sample_q is None) != (self.log_fq is None):
+            # a non-transition SISR proposal needs BOTH the draw and its
+            # logF - logQ correction (liu_west_filter.h:1633-1636);
+            # exactly one of them silently biases the weights
+            raise ValueError(
+                "sample_q and log_fq must be supplied together: a "
+                "custom SISR proposal (qSamp) requires its logF - logQ "
+                "weight correction, and vice versa")
 
     @property
     def tile_rows(self):
@@ -166,7 +174,7 @@ def _lse_row(row):
 
 def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
                   shrink_a, resample_every, variant, ess_threshold,
-                  steps_per_cell):
+                  steps_per_cell, num_tiles=1):
     n = num_particles
     k_steps = steps_per_cell
     t_cells = (num_steps + k_steps - 1) // k_steps
@@ -179,7 +187,15 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
     throw0 = s_rows + 1               # first theta row index
     fns = tuple(kmodel.functionals or ())
     n_fns = len(fns)
-    # APF joint-gather block: state + lookahead + shrunk theta
+    # APF joint-gather block: state + lookahead points + shrunk theta.
+    # The lookahead DENSITY is re-evaluated at the gathered points
+    # rather than carried through the selection: the one-hot selection
+    # matmul is not an exact f32 gather on the MXU (inputs pass through
+    # bf16, docs/kernels.md "Precision"), so gather(f(x)) !=
+    # f(gather(x)) on hardware —
+    # re-evaluating keeps the factory bit-identical to the hand kernel
+    # (measured: carrying the density broke APF bit-compat by ~0.8 in
+    # total log-likelihood at T=300 while interpret mode agreed).
     g_rows = 2 * s_rows + p_rows
     g8 = ((g_rows + TILE - 1) // TILE) * TILE
 
@@ -189,9 +205,11 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
         s_scr, gram_scr = rest[n_fns + 1:]
         f = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-filter threefry-derived seed (_prng.tile_seeds); tc is the
-        # second hardware-seed scalar so every grid cell reseeds
-        pltpu.prng_seed(seed_ref[f], tc)
+        # per-tile threefry-derived seed (_prng.tile_seeds); the second
+        # hardware-seed scalar mixes the grid cell AND the tile index so
+        # every cell reseeds and two tiles whose iid threefry seeds
+        # collide (prob ~2^-32 per pair) still get distinct streams
+        pltpu.prng_seed(seed_ref[f], tc * num_tiles + f)
 
         def obs_at(t):
             # flattened row-major SMEM series (see filter_megakernel's
@@ -250,7 +268,7 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
             def do_resample():
                 m = jnp.max(lw_row, axis=-1, keepdims=True)
                 w = jnp.exp(lw_row - m)
-                u0 = _prng.uniform_bits((1, 1))[0, 0]
+                u0 = _prng.uniform_offset((1, 1))[0, 0]
                 picked = select_matmul(w, u0, tile)
                 lane_row = jax.lax.broadcasted_iota(
                     jnp.int32, (r8, n), 0)
@@ -318,7 +336,7 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
                 log_fsw = lw + lg_look
                 mfs = jnp.max(log_fsw, axis=-1, keepdims=True)
                 w_fs = jnp.exp(log_fsw - mfs)
-                u0 = _prng.uniform_bits((1, 1))[0, 0]
+                u0 = _prng.uniform_offset((1, 1))[0, 0]
                 parts = list(state) + list(look) + [shrunk]
                 if g8 > g_rows:
                     parts.append(jnp.zeros((g8 - g_rows, n), jnp.float32))
@@ -478,6 +496,9 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
     if variant == "apf" and kmodel.prop_mu is None:
         raise ValueError(f"model {kmodel.name!r} has no prop_mu hook "
                          "(required for the APF form)")
+    if int(resample_every) < 1:
+        raise ValueError("resample_every must be >= 1 (1 = the reference "
+                         "schedule, liu_west_filter.h:480-481)")
     k_steps = int(steps_per_cell)
     if k_steps < 1 or 128 % k_steps:
         raise ValueError("steps_per_cell must divide 128")
@@ -498,7 +519,7 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
 
     outs = pl.pallas_call(
         _build_kernel(kmodel, n, t_len, shrink_a, int(resample_every),
-                      variant, float(ess_threshold), k_steps),
+                      variant, float(ess_threshold), k_steps, num_filters),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(num_filters, t_cells),

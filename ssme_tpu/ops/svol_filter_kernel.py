@@ -41,14 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 normal_bits as _normal_bits,
                                 tile_seeds as _tile_seeds,
-                                uniform_bits as _uniform_bits)
+                                uniform_bits as _uniform_bits,
+                                uniform_offset as _uniform_offset)
 from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
 
 
 def _make_kernel(num_particles: int, ess_frac: float,
-                 steps_per_cell: int = 1):
+                 steps_per_cell: int = 1, num_tiles: int = 1):
     n = num_particles
     k_steps = steps_per_cell
     always = ess_frac >= 1.0
@@ -58,9 +59,11 @@ def _make_kernel(num_particles: int, ess_frac: float,
                x_scr, lw_scr, carry_scr):
         b = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-tile threefry-derived seed (_prng.tile_seeds); tc is the
-        # second hardware-seed scalar so every grid cell reseeds
-        pltpu.prng_seed(seed_ref[b], tc)
+        # per-tile threefry-derived seed (_prng.tile_seeds); the second
+        # hardware-seed scalar mixes the grid cell AND the tile index so
+        # every cell reseeds and two tiles whose iid threefry seeds
+        # collide (prob ~2^-32 per pair) still get distinct streams
+        pltpu.prng_seed(seed_ref[b], tc * num_tiles + b)
 
         beta = params_ref[:, 0:1]
         phi = params_ref[:, 1:2]
@@ -90,7 +93,7 @@ def _make_kernel(num_particles: int, ess_frac: float,
                     jnp.int32, (TILE_B, n), 1)
                 cdf_ex = jnp.where(lane0 == 0, 0.0,
                                    pltpu.roll(cdf, shift=1, axis=1))
-                u0 = _uniform_bits((TILE_B, 1))               # (8, 1)
+                u0 = _uniform_offset((TILE_B, 1))             # (8, 1)
 
                 xt = jnp.transpose(x_scr[:])                  # (n, 8)
                 cols = []
@@ -232,7 +235,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
 
     lcls = pl.pallas_call(
-        _make_kernel(n, float(ess_threshold), k_steps),
+        _make_kernel(n, float(ess_threshold), k_steps, b // TILE_B),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
             grid=(b // TILE_B, t_cells),

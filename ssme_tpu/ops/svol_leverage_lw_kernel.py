@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 normal_bits as _normal_bits,
                                 tile_seeds as _tile_seeds,
-                                uniform_bits as _uniform_bits)
+                                uniform_bits as _uniform_bits,
+                                uniform_offset as _uniform_offset)
 
 TILE = 8
 N_PARAM = 4  # phi, mu, sigma, rho
@@ -80,7 +81,7 @@ def _lse_row(row):
 
 def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                   resample_every=1, variant="apf", ess_threshold=0.0,
-                  steps_per_cell=1):
+                  steps_per_cell=1, num_tiles=1):
     n = num_particles
     k_steps = steps_per_cell
     t_cells = (num_steps + k_steps - 1) // k_steps
@@ -93,9 +94,11 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                s_scr, gram_scr):
         f = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-filter threefry-derived seed (_prng.tile_seeds); tc is the
-        # second hardware-seed scalar so every grid cell reseeds
-        pltpu.prng_seed(seed_ref[f], tc)
+        # per-tile threefry-derived seed (_prng.tile_seeds); the second
+        # hardware-seed scalar mixes the grid cell AND the tile index so
+        # every cell reseeds and two tiles whose iid threefry seeds
+        # collide (prob ~2^-32 per pair) still get distinct streams
+        pltpu.prng_seed(seed_ref[f], tc * num_tiles + f)
 
         def stage_lcl(t, lcl_val):
             col = jax.lax.rem(t, 128)
@@ -137,7 +140,7 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             def do_resample():
                 m = jnp.max(lw_row, axis=-1, keepdims=True)
                 w = jnp.exp(lw_row - m)
-                u0 = _uniform_bits((1, 1))[0, 0]
+                u0 = _uniform_offset((1, 1))[0, 0]
                 picked = select_matmul(w, u0, tile)
                 # zero the log-weight row (weights reset to uniform)
                 lane_row = jax.lax.broadcasted_iota(
@@ -213,7 +216,7 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                 log_fsw = lw + _log_g(y, look)
                 mfs = jnp.max(log_fsw, axis=-1, keepdims=True)
                 w_fs = jnp.exp(log_fsw - mfs)
-                u0 = _uniform_bits((1, 1))[0, 0]
+                u0 = _uniform_offset((1, 1))[0, 0]
                 gather_src = jnp.concatenate(
                     [x, look, shrunk, jnp.zeros((2, n), jnp.float32)],
                     axis=0)
@@ -363,9 +366,12 @@ def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
 
     if variant not in ("apf", "sisr"):
         raise ValueError("variant must be 'apf' or 'sisr'")
+    if int(resample_every) < 1:
+        raise ValueError("resample_every must be >= 1 (1 = the reference "
+                         "schedule, liu_west_filter.h:480-481)")
     lcls, cloud = pl.pallas_call(
         _build_kernel(n, t_len, shrink_a, lo, hi, resample_every, variant,
-                      float(ess_threshold), k_steps),
+                      float(ess_threshold), k_steps, num_filters),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys
             grid=(num_filters, t_cells),

@@ -114,8 +114,23 @@ def _partition_positions(log_w_local, u0, axis_name):
                               jnp.cumsum(shard_sums)])          # (S+1,)
     bound_pos = n_global * bounds - u0
     bound_pos = bound_pos.at[-1].set(n_global - u0)
+    # ENFORCE monotonicity exactly: tree-reassociated prefix sums
+    # (associative_scan / the cumsum above) are not bitwise monotone,
+    # and the pinned tail values are rounded independently of the
+    # interior — a 1-ulp inversion would break the bisection
+    # searchsorted that ring_resample uses above
+    # resampling._MATRIX_SEARCH_LIMIT (bisection requires sorted input;
+    # the dense-count path tolerates inversions, so without this the
+    # two exchanges could disagree at large n_local).  Prefix-max is
+    # rounding-free (max is exact on floats), so this is the identity
+    # everywhere except at an actual inversion, and the capping min
+    # keeps the pinned last entry in place.  bound_pos is fixed FIRST so
+    # q's pinned tail uses the final boundary values.
+    bound_pos = jnp.minimum(
+        jax.lax.associative_scan(jnp.maximum, bound_pos), bound_pos[-1])
     q = n_global * csum + bound_pos[me]
     q = q.at[-1].set(bound_pos[me + 1])
+    q = jnp.minimum(jax.lax.associative_scan(jnp.maximum, q), q[-1])
     return q, bound_pos
 
 

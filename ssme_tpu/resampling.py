@@ -73,7 +73,11 @@ def searchsorted_cdf(cdf, u):
         u = jnp.broadcast_to(u, cdf.shape[:-1] + u.shape[-1:])
     lo = jnp.zeros(u.shape, dtype=jnp.int32)
     hi = jnp.full(u.shape, n, dtype=jnp.int32)
-    for _ in range(max(1, (n - 1).bit_length())):
+    # the answer lives in [lo, hi] with initial width n, and each round
+    # at most halves the width — n.bit_length() rounds drive it to 0
+    # ((n-1).bit_length() is one short: it leaves width 1, returning
+    # lo when the true index is hi)
+    for _ in range(max(1, int(n).bit_length())):
         mid = (lo + hi) >> 1
         v = jnp.take_along_axis(cdf, jnp.minimum(mid, n - 1), axis=-1)
         go_right = v < u

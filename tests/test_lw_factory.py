@@ -96,6 +96,27 @@ def test_svol_t_variants_and_schedules(variant):
     assert np.isfinite(np.asarray(out["log_cond_likes"])).all()
 
 
+def test_constant_functional_is_exactly_42():
+    """The reference's normalization invariant (test_liu_west.cpp:191-199):
+    a constant functional h = 42 must average to exactly 42 at every
+    step regardless of the weights — validates the self-normalized
+    functional path without controlling the RNG."""
+    base = lwm.svol_t_lw_kernel_model(nu=5.0)
+    km = lwm.LWKernelModel(
+        num_params=base.num_params,
+        transform_codes=base.transform_codes,
+        sample_prior=base.sample_prior, init=base.init,
+        propagate=base.propagate, log_weight=base.log_weight,
+        prop_mu=base.prop_mu,
+        functionals=(lambda cp, st: jnp.full_like(st[0], 42.0),),
+        name="svol_t_lw_const42")
+    ys = 0.3 * jax.random.normal(jax.random.key(4), (20,))
+    out = lwm.lw_megakernel(km, 17, ys, num_filters=2, num_particles=128,
+                            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out["functional_paths"][0]), 42.0, rtol=1e-5)
+
+
 def test_validation_errors():
     km = lwm.svol_t_lw_kernel_model(nu=5.0)
     ys = jnp.ones(8)
@@ -141,6 +162,11 @@ def test_svol_t_lw_posterior_recovery_tpu():
     w = np.asarray(lwm.lw_cloud_weights(km, out["cloud"]))
     post_mean = (params * w[..., None]).sum(axis=1).mean(axis=0)
     beta_hat, phi_hat, sigma_hat = post_mean
-    assert 0.5 < beta_hat < 2.0, post_mean
-    assert 0.7 < phi_hat < 0.99, post_mean
-    assert 0.05 < sigma_hat < 1.0, post_mean
+    # falsifiable vs the prior: the uniform-box prior means are
+    # (1.25, 0.795, 0.525); a filter that learns nothing sits there.
+    # beta and sigma must have moved toward the truth (1.0, 0.3)
+    # strictly past the prior mean; phi is weakly identified at this T
+    # (t-tails mask the AR signal), so it only gets a sanity range.
+    assert 0.8 < beta_hat < 1.2, post_mean
+    assert 0.1 < sigma_hat < 0.45, post_mean
+    assert 0.6 < phi_hat < 0.99, post_mean

@@ -92,3 +92,25 @@ def test_works_inside_jit_and_scan():
     )((states, logw, jax.random.key(7)))
     assert fs.shape == (n,) and means.shape == (5,)
     assert np.all(np.isfinite(np.asarray(means)))
+
+
+def test_searchsorted_bisection_matches_numpy(monkeypatch):
+    """The log2(N) bisection fallback (above _MATRIX_SEARCH_LIMIT) must
+    agree exactly with numpy's side='left' searchsorted — it was one
+    iteration short once (width-1 ambiguity returning lo when the true
+    index was hi), caught by the ring/allgather cross-check."""
+    import numpy as np
+
+    from ssme_tpu import resampling
+
+    monkeypatch.setattr(resampling, "_MATRIX_SEARCH_LIMIT", 1)
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(2, 70))
+        cdf = np.sort(rng.normal(size=n)).astype(np.float32)
+        u = rng.normal(size=9).astype(np.float32)
+        u[0], u[1] = cdf[0], cdf[-1]          # boundary hits
+        got = np.asarray(resampling.searchsorted_cdf(
+            jnp.asarray(cdf), jnp.asarray(u)))
+        want = np.clip(np.searchsorted(cdf, u, side="left"), 0, n - 1)
+        np.testing.assert_array_equal(got, want)

@@ -255,3 +255,47 @@ def test_sharded_ess_adaptive_matches_every_step():
     # and both match the exact Kalman likelihood within MC error
     exact = float(jnp.sum(lgssm.kalman_filter(params, ys)[0]))
     assert abs(float(ll_a.mean()) - exact) < 4 * float(ll_a.std()) + 1.0
+
+
+def test_ring_matches_allgather_on_bisection_path(monkeypatch):
+    """ring_resample's searchsorted switches to log2(N) bisection above
+    resampling._MATRIX_SEARCH_LIMIT, which requires the q positions to
+    be sorted — _partition_positions enforces exact monotonicity
+    (prefix-max) because tree-reassociated prefix sums and the
+    independently-rounded pinned tails are not bitwise monotone.  Force
+    the bisection path at a small size and pin ring == allgather,
+    including near-degenerate trailing weights that stress the pinned
+    boundary."""
+    from ssme_tpu import resampling
+
+    monkeypatch.setattr(resampling, "_MATRIX_SEARCH_LIMIT", 1)
+    mesh = _particle_mesh(4)
+    n = 64
+
+    def via_ring(logw, xs, key):
+        return ring_resample(key, logw, (xs,), "particle")[0]
+
+    def via_gather(logw, xs, key):
+        anc = sharded_systematic_ancestors(key, logw, "particle")
+        cloud = jax.lax.all_gather(xs, "particle")
+        cloud = cloud.reshape((-1,) + xs.shape[1:])
+        return jnp.take(cloud, anc, axis=0)
+
+    f_ring = shard_map(via_ring, mesh=mesh,
+                       in_specs=(P("particle"), P("particle"), P()),
+                       out_specs=P("particle"), check_vma=False)
+    f_gather = shard_map(via_gather, mesh=mesh,
+                         in_specs=(P("particle"), P("particle"), P()),
+                         out_specs=P("particle"), check_vma=False)
+    for seed in range(4):
+        kw, kx, kr = jax.random.split(jax.random.key(seed), 3)
+        logw = 3.0 * jax.random.normal(kw, (n,))
+        # crush the tail of the last shard toward zero weight so the
+        # pinned boundary and the interior q values nearly coincide
+        logw = logw.at[-12:].set(-80.0)
+        xs = jax.random.normal(kx, (n, 2))
+        a = np.asarray(f_ring(logw, xs, kr))
+        b = np.asarray(f_gather(logw, xs, kr))
+        np.testing.assert_array_equal(a, b)
+        # every output slot claimed: no row left at its zeros init
+        assert not np.any(np.all(a == 0.0, axis=-1))
