@@ -444,7 +444,8 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
 
 def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                         num_replicates: int, constrain=None,
-                        ess_threshold: float = 0.5, model=None):
+                        ess_threshold: float = 0.5, model=None,
+                        interpret: bool = False):
     """PMMH ``batched_log_like`` hook for any kernel model: all chains x
     replicates in one launch, per-chain log-mean-exp over replicates
     (``thread_pool.h:259-273`` semantics).
@@ -488,7 +489,8 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
         batch = jnp.concatenate([batch, pad], axis=0)
         vals, _, _ = filter_megakernel(kmodel, seed, batch, ys, zs,
                                        num_particles=num_particles,
-                                       ess_threshold=ess_threshold)
+                                       ess_threshold=ess_threshold,
+                                       interpret=interpret)
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll

@@ -1,3 +1,7 @@
+from ssme_tpu.parallel.kernel_sharded import (
+    shard_batched_log_like,
+    sharded_megakernel_log_like,
+)
 from ssme_tpu.parallel.mesh import (
     make_mesh,
     chain_sharding,
@@ -9,4 +13,5 @@ from ssme_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh", "chain_sharding", "particle_sharding",
     "shard_chain_state", "jit_sharded_pmmh",
+    "shard_batched_log_like", "sharded_megakernel_log_like",
 ]
