@@ -329,7 +329,7 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                       num_particles: int = 512, interpret: bool = False,
                       ess_threshold: float = 1.0, mode: str = "bootstrap",
-                      steps_per_cell: int = 4):
+                      steps_per_cell: int = 8):
     """Run B whole-sequence particle filters in one ``pallas_call``.
 
     seed: int32 scalar; params: (B, num_params) constrained rows;

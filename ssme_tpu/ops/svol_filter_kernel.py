@@ -197,7 +197,7 @@ def _make_kernel(num_particles: int, ess_frac: float,
                                              "ess_threshold",
                                              "steps_per_cell"))
 def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
-                       ess_threshold=1.0, steps_per_cell=4):
+                       ess_threshold=1.0, steps_per_cell=8):
     """Full-sequence SVOL bootstrap filtering for B filters at once.
 
     seed: int32 scalar; params: (B, 3) constrained [beta, phi, sigma]

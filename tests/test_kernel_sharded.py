@@ -82,3 +82,24 @@ def test_sharded_megakernel_hook_is_the_same_wrapper():
     params = jnp.broadcast_to(jnp.array([1.0, 0.9, 0.2]), (6, 3))
     with pytest.raises(ValueError, match="divisible"):
         ll(jax.random.key(0), params, jnp.zeros((8,)))
+
+
+def test_pmmh_end_to_end_with_sharded_hook():
+    """AdaptivePMMH drives a chain-sharded likelihood hook under jit on
+    the CPU mesh: the full MCMC loop (adaptation, MH, recording) with
+    per-device likelihood launches, deterministic across reruns."""
+    from ssme_tpu.inference import AdaptivePMMH
+
+    model = svol.make_model()
+    inner = replicated_log_like_fn(model, 64, 2)
+    ll = parallel.shard_batched_log_like(inner, _mesh(4))
+    pmmh = AdaptivePMMH(model, num_particles=64, num_replicates=2,
+                        t0=2, t1=50, batched_log_like=ll)
+    ys = 0.1 * jax.random.normal(jax.random.key(4), (30, 1))
+    start = jnp.asarray(svol.START_TRANS_THETA)
+    res1 = pmmh.run(jax.random.key(5), start, 5, ys, num_chains=8)
+    res2 = pmmh.run(jax.random.key(5), start, 5, ys, num_chains=8)
+    assert res1.samples.shape == (5, 8, 3)
+    assert np.isfinite(np.asarray(res1.samples)).all()
+    np.testing.assert_array_equal(np.asarray(res1.samples),
+                                  np.asarray(res2.samples))
