@@ -36,7 +36,8 @@ auxiliary PF via a ``prop_mu`` lookahead hook).  Multiple time steps
 run per grid cell (``steps_per_cell``) to amortize fixed cell overhead.
 
 Restrictions (same as the hand-written kernels): particles a multiple
-of 128 (and at most 1024), filter batch a multiple of 8, f32 state.
+of 128 (and at most :data:`MAX_KERNEL_PARTICLES`), filter batch a
+multiple of 8, f32 state.
 """
 
 from __future__ import annotations
@@ -53,17 +54,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
+from ssme_tpu.ops._select import select_leaves_blocked
 from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
 
-# Hard ceiling for the in-kernel particle axis: the gather-free
-# systematic resampler keeps an (n, n) lower-triangular CDF matrix and
-# (n, n) one-hot selection intermediates in VMEM — n^2 floats.  Above
-# this, use the XLA path (filters.BootstrapFilter / the automatic
-# dispatch in megakernel_log_like) or shard the particle axis
+# Hard ceiling for the in-kernel particle axis.  The two-level blocked
+# resampler (ops/_select.py) keeps only O(n * 128) transient VMEM per
+# tile row (the old dense one-hot needed (n, n) intermediates, which
+# capped n at 1024), so the ceiling is now set by the (n, 128*(1+L))
+# fetch buffer plus the (TILE_B, n) state/weight scratch.  Above this,
+# use the XLA path (filters.BootstrapFilter / the automatic dispatch in
+# megakernel_log_like) or shard the particle axis
 # (parallel.sharded_pf).  Measured on TPU v5e (see docs/kernels.md).
-MAX_KERNEL_PARTICLES = 1024
+MAX_KERNEL_PARTICLES = 4096
 
 
 class _Rng:
@@ -117,7 +121,7 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
     fns = kmodel.functional_list
     n_fns = len(fns)
 
-    def kernel(seed_ref, ys_ref, zs_ref, params_ref, lt_ref,
+    def kernel(seed_ref, ys_ref, zs_ref, params_ref,
                out_ref, *rest):
         fmean_refs = rest[:n_fns]
         scratch = rest[n_fns:]
@@ -145,44 +149,17 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             return y, z
 
         def select_leaves(w, leaves):
-            """Systematic ancestor selection of every (8, n) leaf by the
-            per-row weights ``w``, gather-free: weight CDF as one MXU
-            matmul with the lower-triangular ones matrix; per row, a
-            one-hot selection matrix applied as a matmul (leaf columns
-            stacked so one matmul selects ALL leaves with the same
-            ancestors — liu_west_filter.h:90-145 joint-gather
-            semantics).  The exclusive CDF is the SAME rounded values
-            rolled one lane so the intervals partition exactly."""
-            n_l = len(leaves)
-            cdf = jax.lax.dot_general(
-                w, lt_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            total = cdf[:, n - 1:n]                          # (8, 1)
-            lane0 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, n), 1)
-            cdf_ex = jnp.where(lane0 == 0, 0.0,
-                               pltpu.roll(cdf, shift=1, axis=1))
+            """Systematic ancestor selection of every (8, n) leaf by
+            the per-row weights ``w``, gather-free and two-level
+            blocked (``ops/_select.select_leaves_blocked``): leaf rows
+            are fetched jointly by the same ancestors
+            (liu_west_filter.h:90-145 joint-gather semantics) in
+            O(n * 128(1+L)) work per row instead of the dense one-hot's
+            O(n^2); the selection matmuls run at Precision.HIGHEST so
+            the gather is EXACT in f32 (the MXU default truncates
+            inputs to bf16 — docs/kernels.md "Precision")."""
             u0 = _prng.uniform_offset((TILE_B, 1))           # (8, 1)
-            xt = jnp.concatenate(
-                [jnp.transpose(leaf) for leaf in leaves],
-                axis=1)                                      # (n, 8L)
-            cols = [[] for _ in range(n_l)]
-            for row in range(TILE_B):
-                jcol = jax.lax.broadcasted_iota(
-                    jnp.int32, (n, 1), 0).astype(jnp.float32)
-                u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
-                cdf_row = cdf[row:row + 1, :]
-                cdfx_row = cdf_ex[row:row + 1, :]
-                sel = jnp.where(
-                    (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
-                picked = jax.lax.dot_general(
-                    sel, xt, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (n, 8L)
-                for leaf in range(n_l):
-                    cols[leaf].append(
-                        picked[:, leaf * TILE_B + row:
-                               leaf * TILE_B + row + 1])
-            return [jnp.transpose(jnp.concatenate(cols[leaf], axis=1))
-                    for leaf in range(n_l)]
+            return select_leaves_blocked(w, leaves, u0)
 
         def stage_outputs(t, lcl, fmeans):
             # stage into the revisited (8, 128) output blocks (flushed
@@ -373,11 +350,12 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         raise ValueError(f"num_particles={n} must be a multiple of 128")
     if n > MAX_KERNEL_PARTICLES:
         raise ValueError(
-            f"num_particles={n}: the in-VMEM lower-triangular CDF matrix "
-            f"is n^2 floats; above {MAX_KERNEL_PARTICLES} it exceeds "
-            "scoped VMEM. Use the XLA path (filters.BootstrapFilter, or "
-            "megakernel_log_like's automatic dispatch via model=) or "
-            "shard the particle axis (parallel.sharded_pf).")
+            f"num_particles={n}: the in-VMEM state/weight scratch and "
+            f"the blocked resampler's (n, 128) fetch buffers exceed "
+            f"scoped VMEM above {MAX_KERNEL_PARTICLES}. Use the XLA "
+            "path (filters.BootstrapFilter, or megakernel_log_like's "
+            "automatic dispatch via model=) or shard the particle axis "
+            "(parallel.sharded_pf).")
     if params.shape[1] != kmodel.num_params:
         raise ValueError(f"params rows must have {kmodel.num_params} cols")
     if mode not in ("bootstrap", "apf"):
@@ -399,7 +377,6 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     zs = jnp.concatenate(
         [zs, jnp.zeros((pad_steps * max(1, kmodel.dim_cov),), zs.dtype)])
 
-    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
     seed_arr = _prng.tile_seeds(seed, b // TILE_B)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
     n_fns = len(kmodel.functional_list)
@@ -413,8 +390,6 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             in_specs=[
                 pl.BlockSpec((TILE_B, kmodel.num_params),
                              lambda i, t, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -434,7 +409,7 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             for _ in range(1 + n_fns)
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, ys, zs, params, lt)
+    )(seed_arr, ys, zs, params)
     lcls = outs[0][:, :t_len]
     fmeans = tuple(f[:, :t_len] for f in outs[1:])
     if n_fns == 1:

@@ -9,12 +9,13 @@ log-likelihoods) executed as ONE ``pallas_call``:
   scratch — the filter state NEVER touches HBM during the scan;
 - propagation + weighting use the TPU hardware PRNG (Box-Muller) fused
   with the SVOL recursions (``univ_svol_bootstrap_filter.h:74-86``);
-- systematic resampling is gather-free: the weight CDF is one MXU matmul
-  with a lower-triangular ones matrix, and ancestor selection builds the
-  one-hot selection matrix S on the fly (two step-function compares) and
-  applies it as another MXU matmul.  XLA's alternatives measured on this
-  chip: dynamic lane gathers ~450us each, cumsum ~260us, dense compare
-  materialized to HBM ~690us — all avoided;
+- systematic resampling is gather-free and two-level blocked
+  (``ops/_select.select_leaves_blocked``): intra-128-block CDFs via a
+  lane-masked roll scan, a tiny cross-block prefix, and counting
+  selection that touches only the ancestor's block — O(n * 256) work
+  per row instead of the dense one-hot's O(n^2).  XLA's alternatives
+  measured on this chip: dynamic lane gathers ~450us each, cumsum
+  ~260us, dense compare materialized to HBM ~690us — all avoided;
 - observations stream through SMEM (scalar prefetch); per-step
   conditional log-likelihoods are staged in the revisited output block
   (flushed to HBM once per 128 steps).
@@ -43,6 +44,7 @@ from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 tile_seeds as _tile_seeds,
                                 uniform_bits as _uniform_bits,
                                 uniform_offset as _uniform_offset)
+from ssme_tpu.ops._select import select_leaves_blocked
 from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
@@ -55,7 +57,7 @@ def _make_kernel(num_particles: int, ess_frac: float,
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
 
-    def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref, xmean_ref,
+    def kernel(seed_ref, ys_ref, params_ref, out_ref, xmean_ref,
                x_scr, lw_scr, carry_scr):
         b = pl.program_id(0)
         tc = pl.program_id(1)
@@ -79,40 +81,11 @@ def _make_kernel(num_particles: int, ess_frac: float,
             w = jnp.exp(lw_scr[:])                           # (8, n)
 
             def resample():
-                # inclusive prefix sum along lanes on the MXU:
-                # cdf[r,i] = sum_{k<=i} w[r,k] = (w @ LT)[r,i]
-                cdf = jax.lax.dot_general(
-                    w, lt_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                total = cdf[:, n - 1:n]                       # (8, 1)
-                # exclusive CDF must be the SAME rounded values shifted
-                # by one lane (cdf - w re-rounds and can leave ~1-ulp
-                # gaps or overlaps at interval boundaries, selecting 0
-                # or 2 ancestors); a roll makes an exact partition
-                lane0 = jax.lax.broadcasted_iota(
-                    jnp.int32, (TILE_B, n), 1)
-                cdf_ex = jnp.where(lane0 == 0, 0.0,
-                                   pltpu.roll(cdf, shift=1, axis=1))
+                # two-level blocked systematic selection (_select.py):
+                # O(n * 256) per row vs the dense one-hot's O(n^2)
                 u0 = _uniform_offset((TILE_B, 1))             # (8, 1)
-
-                xt = jnp.transpose(x_scr[:])                  # (n, 8)
-                cols = []
-                for row in range(TILE_B):
-                    # u as a synthesized COLUMN: (j + u0) / n * total
-                    jcol = jax.lax.broadcasted_iota(
-                        jnp.int32, (n, 1), 0).astype(jnp.float32)
-                    u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
-                    cdf_row = cdf[row:row + 1, :]             # (1, n)
-                    cdfx_row = cdf_ex[row:row + 1, :]
-                    # one-hot selection: first i with cdf_i >= u_j
-                    sel = jnp.where(
-                        (cdf_row >= u_col) & (cdfx_row < u_col), 1.0, 0.0)
-                    # (n_out, n_in) @ (n_in, 8) on MXU; keep col `row`
-                    picked = jax.lax.dot_general(
-                        sel, xt, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    cols.append(picked[:, row:row + 1])
-                x_scr[:] = jnp.transpose(jnp.concatenate(cols, axis=1))
+                (picked,) = select_leaves_blocked(w, [x_scr[:]], u0)
+                x_scr[:] = picked
                 # weights reset to uniform: log W = 0, LSE = log n
                 lw_scr[:] = jnp.zeros_like(lw_scr)
                 carry_scr[:] = jnp.full_like(carry_scr, log_n)
@@ -230,7 +203,6 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     ys = jnp.concatenate(
         [ys, jnp.zeros((t_cells * k_steps - t_len,), ys.dtype)])
 
-    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)  # [k<=i] as k x i
     seed_arr = _tile_seeds(seed, b // TILE_B)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
 
@@ -241,8 +213,6 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
             grid=(b // TILE_B, t_cells),
             in_specs=[
                 pl.BlockSpec((TILE_B, 3), lambda i, t, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -264,7 +234,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
             jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, ys, params.astype(jnp.float32), lt)
+    )(seed_arr, ys, params.astype(jnp.float32))
     lcls, xmeans = lcls
     lcls = lcls[:, :t_len]
     return jnp.sum(lcls, axis=-1), lcls, xmeans[:, :t_len]
