@@ -24,17 +24,24 @@ Prints ONE JSON line:
    "parity": N, "adaptive": N}
 
 Modes (env BENCH_MODE):
-  flagship (default) — the two-schedule single-chip number above.
+  flagship (default) — the two-schedule single-chip number above.  Each
+                       (impl, schedule) measurement runs in its OWN
+                       SUBPROCESS: a Mosaic kernel fault kills the TPU
+                       worker process, so only process isolation lets
+                       the XLA fallback survive a Pallas failure
+                       (VERDICT r2 item 2 / BENCH_r02 post-mortem).
   scaling            — sweep the chain axis over 1..D devices of the
                        current platform and print per-device-count
                        throughput + parallel efficiency (BASELINE.md
                        north-star row: scaling efficiency at 1 chip /
                        1 host / >= 2 hosts; on this rig: the 8-virtual-
                        device CPU mesh or the single real chip).
+  worker             — internal: one measurement (used by flagship).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -95,12 +102,75 @@ def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
     return _time_best(run, state, windows)
 
 
-def _flagship():
+def _worker():
+    """Measure ONE (impl, schedule) configuration and print its elapsed
+    seconds as a JSON line.  Runs in a SUBPROCESS of the flagship mode:
+    a Mosaic kernel fault crashes the whole TPU worker process, so an
+    in-process fallback can never survive the failure mode it exists
+    for (BENCH_r02: the parity-schedule compile failure poisoned the
+    XLA fallback too).  Process isolation makes each configuration's
+    failure independent."""
     import jax
     import jax.numpy as jnp
 
     from ssme_tpu.io import read_data
 
+    impl = os.environ["BENCH_WORKER_IMPL"]
+    ess = float(os.environ["BENCH_WORKER_ESS"])
+    if os.environ.get("BENCH_FAULT") == impl:
+        # test hook: simulate the round-2 failure mode (a kernel fault
+        # killing this worker process) to prove the fallback survives
+        raise RuntimeError(f"injected {impl} fault (BENCH_FAULT)")
+    num_particles = int(os.environ.get("BENCH_PARTICLES", 512))
+    num_replicates = int(os.environ.get("BENCH_REPLICATES", 16))
+    num_chains = int(os.environ.get("BENCH_CHAINS", 8))
+    num_iters = int(os.environ.get("BENCH_ITERS", 30))
+
+    data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "spy_returns.csv")
+    ys = jnp.asarray(read_data(data_path, num_cols=1))
+    elapsed = _measure(impl, num_particles, num_replicates, num_chains,
+                       num_iters, ys, ess)
+    print(json.dumps({"elapsed": elapsed, "impl": impl,
+                      "t_len": int(ys.shape[0]),
+                      "devices": max(1, len(jax.devices()))}))
+
+
+def _run_worker(impl, ess):
+    """Launch one measurement subprocess; returns its parsed JSON dict
+    or None on any failure (nonzero rc, crash, unparseable output)."""
+    env = dict(os.environ)
+    env["BENCH_MODE"] = "worker"
+    env["BENCH_WORKER_IMPL"] = impl
+    env["BENCH_WORKER_ESS"] = repr(ess)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("BENCH_WORKER_TIMEOUT", 3600)))
+    except subprocess.TimeoutExpired:
+        print(f"bench worker impl={impl!r} ess={ess} timed out",
+              file=sys.stderr)
+        return None
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        tail = proc.stdout.strip().split("\n")[-1][:400]
+        print(f"bench worker impl={impl!r} ess={ess} exited "
+              f"rc={proc.returncode}: {tail}", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.strip().split("\n")):
+        try:
+            out = json.loads(line)
+            if "elapsed" in out:
+                return out
+        except ValueError:
+            continue
+    print(f"bench worker impl={impl!r} ess={ess}: no JSON line in output",
+          file=sys.stderr)
+    return None
+
+
+def _flagship():
     # workload scale (env-overridable for quick runs).  BENCH_ITERS=30:
     # a >= 30-iteration timing window per VERDICT r1 (stable best-of-2).
     num_particles = int(os.environ.get("BENCH_PARTICLES", 512))
@@ -110,33 +180,40 @@ def _flagship():
     impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
     baseline = 1e8  # north-star props/s/chip (BASELINE.json)
 
-    data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "data", "spy_returns.csv")
-    ys = jnp.asarray(read_data(data_path, num_cols=1))
-    t_len = ys.shape[0]
-
-    props = (num_iters * num_chains * num_replicates
-             * num_particles * t_len)
-    n_chips = max(1, len(jax.devices()))
-
     def run_schedule(ess):
         nonlocal impl
-        try:
-            elapsed = _measure(impl, num_particles, num_replicates,
-                               num_chains, num_iters, ys, ess)
-        except Exception as e:  # pallas path failed: fall back to XLA
-            print(f"bench impl {impl!r} failed ({type(e).__name__}: {e});"
-                  f" falling back to xla", file=sys.stderr)
+        out = _run_worker(impl, ess)
+        if out is None and impl != "xla":
+            # pallas path failed IN ITS OWN PROCESS: the XLA fallback
+            # starts from a fresh TPU client, immune to the crash
+            print(f"bench impl {impl!r} failed; falling back to xla in a "
+                  "fresh process", file=sys.stderr)
             impl = "xla"
-            elapsed = _measure(impl, num_particles, num_replicates,
-                               num_chains, num_iters, ys, ess)
-        return props / elapsed / n_chips, elapsed, impl
+            out = _run_worker(impl, ess)
+        if out is None:
+            raise SystemExit(f"bench: no implementation survived "
+                             f"schedule ess={ess}")
+        return out
 
-    # reference-parity schedule first (resample every step), then the
+    out_parity = run_schedule(1.0)
+    # (t_len/devices resolved by the workers; both see the same data)
+    t_len = out_parity["t_len"]
+    n_chips = out_parity["devices"]
+    props = (num_iters * num_chains * num_replicates
+             * num_particles * t_len)
+
+    def throughput(out):
+        return props / out["elapsed"] / n_chips
+
+    # reference-parity schedule ran first (resample every step); now the
     # adaptive headline
-    parity, t_parity, impl_parity = run_schedule(1.0)
-    adaptive, t_adaptive, impl_adaptive = run_schedule(
-        float(os.environ.get("BENCH_ESS", 0.5)))
+    parity, t_parity, impl_parity = (throughput(out_parity),
+                                     out_parity["elapsed"],
+                                     out_parity["impl"])
+    out_adaptive = run_schedule(float(os.environ.get("BENCH_ESS", 0.5)))
+    adaptive, t_adaptive, impl_adaptive = (throughput(out_adaptive),
+                                           out_adaptive["elapsed"],
+                                           out_adaptive["impl"])
     if impl_parity != impl_adaptive:
         # a mid-run fallback mixed implementations: the two schedule
         # numbers are no longer comparable to each other
@@ -224,6 +301,16 @@ def _scaling():
 def main():
     import jax
 
+    # test/CI hook: BENCH_PLATFORM=cpu pins the benchmark (and its
+    # worker subprocesses, which inherit the env) to CPU even where a
+    # sitecustomize pre-selects a TPU platform at interpreter boot
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+        ndev = os.environ.get("BENCH_CPU_DEVICES")
+        if ndev and plat.startswith("cpu"):
+            jax.config.update("jax_num_cpu_devices", int(ndev))
+
     # persistent compile cache: the first compile via the remote service
     # is slow and occasionally flaky — cache across invocations
     try:
@@ -236,6 +323,8 @@ def main():
     mode = os.environ.get("BENCH_MODE", "flagship")
     if mode == "scaling":
         _scaling()
+    elif mode == "worker":
+        _worker()
     else:
         _flagship()
 

@@ -62,18 +62,32 @@ def uniform_offset(shape):
 
 
 def tile_seeds(seed, num_tiles: int):
-    """Per-grid-tile int32 seeds threefry-derived from one scalar seed.
+    """Per-grid-tile seed WORDS threefry-derived from a scalar seed or a
+    ``jax.random`` key: shape ``(2 * num_tiles,)`` int32, TWO words per
+    tile (tile b owns slots 2b and 2b+1).
 
-    The kernels seed the hardware PRNG once per grid cell; deriving the
-    per-tile values through ``jax.random`` (threefry) instead of an
-    additive/linear-congruential fold of the tile index guarantees the
-    streams of different filter tiles are cryptographically
-    decorrelated — the per-row independence that PMMH's replicate
-    averaging (``thread_pool.h:259-273``) assumes of its workers.
+    The kernels seed the hardware PRNG once per grid cell with
+    ``pltpu.prng_seed(words[2b], words[2b+1] ^ cell_mix)`` — 64 bits of
+    threefry output per tile.  With the old single 31-bit word, two of
+    a PMMH chain's 1e4 iterations reuse an identical hardware stream
+    with birthday probability ~2%%; with 64 bits it is ~1e-12 (an
+    avoidable correlation in a pseudo-marginal sampler).  Deriving
+    through ``jax.random`` (threefry) rather than an additive fold of
+    the tile index keeps different tiles' streams cryptographically
+    decorrelated — the per-row independence PMMH's replicate averaging
+    (``thread_pool.h:259-273``) assumes of its workers.
+
+    ``seed`` may be a Python/int32 scalar (tests, standalone filters) or
+    a ``jax.random`` typed key (the PMMH hooks pass their iteration key
+    straight through, preserving its full entropy).
     """
-    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+    if isinstance(seed, jax.Array) and jnp.issubdtype(
+            seed.dtype, jax.dtypes.prng_key):
+        key = seed
+    else:
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
     info = jnp.iinfo(jnp.int32)
-    return jax.random.randint(key, (num_tiles,), minval=int(info.min),
+    return jax.random.randint(key, (2 * num_tiles,), minval=int(info.min),
                               maxval=int(info.max), dtype=jnp.int32)
 
 

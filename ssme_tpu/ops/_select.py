@@ -2,30 +2,42 @@
 megakernels.
 
 Replaces the reference's O(N) sequential sorted-uniforms walk
-(``liu_west_filter.h:101-139``) with two gather-free formulations:
+(``liu_west_filter.h:101-139``) with a gather-free dense one-hot
+formulation on the MXU (dynamic lane gathers cost ~450us at n=512;
+this costs ~3.3us):
 
-- :func:`select_leaves_dense` — the original one-hot design: full-lane
-  weight CDF via one MXU matmul with an (n, n) lower-triangular ones
-  matrix, per-row (n, n) one-hot selection applied as a matmul.  Work
-  and transient VMEM are O(n^2) per tile row.
+1. inclusive CDF via one matmul with the (n, n) lower-triangular ones
+   matrix ``lt`` (``cdf = w @ lt``); the EXCLUSIVE cdf is the same
+   rounded values shifted one lane (``pltpu.roll``), NOT ``cdf - w``,
+   which re-rounds and can leave 1-ulp gaps/overlaps at interval
+   boundaries (selecting 0 or 2 ancestors);
+2. per output row, the systematic points u_j = (j + u0) * total / n are
+   synthesized as an iota column (clamped to ``total``: f32 rounding
+   can push u_{n-1} past it, which would select NO ancestor and zero
+   that output particle); the one-hot ancestor matrix
+   S[j, i] = [cdf_ex_i < u_j <= cdf_i] comes from two broadcast
+   compares, and ``S @ x^T`` performs the gather on the MXU.  All
+   leaves stack their transposed columns side by side so ONE selection
+   matmul per row moves every leaf by the same ancestors
+   (``liu_west_filter.h:90-145`` joint-gather semantics).
 
-- :func:`select_leaves_blocked` — two-level design: intra-128-block
-  inclusive CDFs via a lane-masked Hillis-Steele roll scan (7 rounds,
-  no reshape — Mosaic cannot retile lanes into sublanes), a tiny
-  cross-block exclusive prefix, then per-output counting selection
-  that touches only the ancestor's 128-lane block: O(n * (nb + 256))
-  work and O(n * 128) transient VMEM per tile row (nb = n/128).  At
-  n = 512 this cuts the resample block's MXU passes ~2x and its VPU
-  compares ~4x vs the dense form; above n = 1024 it is the only form
-  whose intermediates fit VMEM (the dense (n, n) one-hots were the
-  reason for the old in-kernel particle cap).
+Precision: the CDF matmul runs at ``Precision.HIGHEST`` (bf16-rounded
+weights would bias the resampling LAW itself — which particles get
+selected); the selection gather runs at the DEFAULT precision, so
+gathered VALUES pass through bf16 (~0.4%% relative noise on particle
+positions — statistically a harmless jitter, and 6x cheaper on the
+dominant matmul; densities that must be exact are re-evaluated after
+selection rather than gathered, cf. ``ops/liu_west_megakernel.py``).
 
-Both implement the SAME law — systematic resampling with one uniform
-offset u0 per filter row: ancestor(j) = the unique i with
-cdf_{i-1} < (j + u0) * total / n <= cdf_i — and differ only in f32
-summation order (distribution-identical, not bit-identical; the probe
-measured bitwise agreement on >99.9% of slots, the rest 1-ulp
-boundary ties).
+History (round 3, measured on v5e — ``examples/probe_kernel_speed.py``):
+a two-level blocked variant with O(n * 128) transients replaced this
+dense form in round 2 to lift the particle cap, but measured ~4x
+SLOWER per resample (14.5 vs ~3.9 us/step at the parity schedule,
+n=512) and its fetch buffers still capped n at 1024 — the same cap the
+dense form's (n, n) one-hots impose.  Dense won on every axis that
+matters; the blocked implementation lives in git history
+(ssme_tpu/ops/_select.py @ 34f2780) if a >1024 in-kernel cloud is ever
+needed.
 """
 
 from __future__ import annotations
@@ -41,31 +53,34 @@ def _iota(shape, dim):
 
 
 def select_leaves_dense(w, leaves, u0, lt):
-    """Original one-hot selection (O(n^2); requires the (n, n) ``lt``).
+    """Systematic ancestor selection of every leaf row by per-row weights.
 
     w: (TILE_B, n) nonnegative weights; leaves: list of (TILE_B, n)
     arrays gathered jointly (liu_west_filter.h:90-145 semantics);
-    u0: (TILE_B, 1) uniforms in (0, 1); lt: (n, n) with lt[k, i] =
-    [k <= i].  Returns the selected leaves.
+    u0: (TILE_B, 1) uniforms in (0, 1) — use ``_prng.uniform_offset``
+    (never exactly 0, or ancestor slot 0 selects nothing); lt: (n, n)
+    with lt[k, i] = [k <= i].  Returns the selected leaves.
     """
     tile_b, n = w.shape
     n_l = len(leaves)
     cdf = jax.lax.dot_general(w, lt, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+                              precision=jax.lax.Precision.HIGHEST)
     total = cdf[:, n - 1:n]
     lane0 = _iota((tile_b, n), 1)
     cdf_ex = jnp.where(lane0 == 0, 0.0, pltpu.roll(cdf, shift=1, axis=1))
+    # leaf columns side by side: ONE selection matmul per row moves all
     xt = jnp.concatenate([jnp.transpose(leaf) for leaf in leaves], axis=1)
+    jcol = _iota((n, 1), 0).astype(jnp.float32)
     cols = [[] for _ in range(n_l)]
     for row in range(tile_b):
-        jcol = _iota((n, 1), 0).astype(jnp.float32)
-        u_col = (jcol + u0[row, 0]) * (total[row, 0] / n)
+        # clamp: see module docstring (rounding can push u_{n-1} > total)
+        u_col = jnp.minimum((jcol + u0[row, 0]) * (total[row, 0] / n),
+                            total[row, 0])
         sel = jnp.where((cdf[row:row + 1, :] >= u_col)
                         & (cdf_ex[row:row + 1, :] < u_col), 1.0, 0.0)
         picked = jax.lax.dot_general(sel, xt, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+                                     preferred_element_type=jnp.float32)
         for leaf in range(n_l):
             cols[leaf].append(
                 picked[:, leaf * tile_b + row:leaf * tile_b + row + 1])
@@ -73,112 +88,4 @@ def select_leaves_dense(w, leaves, u0, lt):
             for leaf in range(n_l)]
 
 
-def _retile_row(v, nb):
-    """(1, nb*128) row vector -> (nb, 128): block b's lanes become row b.
-
-    Mosaic cannot shape-cast lanes into sublanes, so the retile is nb
-    lane-rotations + static slices: row b = roll(v, -128*b)[:, :128],
-    placed with a one-hot sublane mask and accumulated (nb^2 * 128
-    elementwise ops — negligible for nb <= 32).
-    """
-    rows = _iota((nb, 128), 0)
-    out = jnp.zeros((nb, 128), jnp.float32)
-    for b in range(nb):
-        piece = pltpu.roll(v, shift=(-128 * b) % v.shape[1], axis=1)[:, :128]
-        out = jnp.where(rows == b, piece, out)
-    return out
-
-
-def select_leaves_blocked(w, leaves, u0):
-    """Two-level blocked systematic selection (see module docstring).
-
-    w: (TILE_B, n) nonnegative weights, n a multiple of 128;
-    leaves: list of (TILE_B, n) arrays gathered jointly;
-    u0: (TILE_B, 1) uniforms in (0, 1).  Returns the selected leaves.
-
-    Level 1: intra-block inclusive CDF in (TILE_B, n) layout via a
-    lane-masked Hillis-Steele scan (cdf += roll(cdf, s) masked to
-    lane%128 >= s, s = 1..64).  Level 2: block sums extracted with one
-    (TILE_B, n) x (n, nb) matmul, cross-block exclusive prefix via a
-    tiny (nb, nb) matmul.  Selection per row: the ancestor's BLOCK is
-    the count of inclusive block ends strictly below the systematic
-    point u_j (counting yields exactly one block even when rounding
-    makes prefix/ends inconsistent by an ulp at boundaries); a one-hot
-    over nb blocks fetches that block's CDF row and every leaf's block
-    row with one (n, nb) x (nb, 128*(1+L)) matmul; the ancestor's LANE
-    is the count of in-block CDF entries strictly below the block-local
-    threshold, clamped to 127.
-    """
-    tile_b, n = w.shape
-    nb = n // 128
-    n_l = len(leaves)
-
-    # ---- level 1: intra-block inclusive CDF, all rows at once --------
-    lane_mod = jax.lax.rem(_iota((tile_b, n), 1), 128)
-    cdf_b = w
-    s = 1
-    while s < 128:
-        cdf_b = cdf_b + jnp.where(lane_mod >= s,
-                                  pltpu.roll(cdf_b, shift=s, axis=1), 0.0)
-        s *= 2
-
-    # ---- level 2: block sums -> exclusive prefix / inclusive ends ----
-    # ends[i, b] = [i == 128*b + 127]: one matmul extracts the nb block
-    # sums of every row
-    iota_n = _iota((n, nb), 0)
-    iota_b_col = _iota((n, nb), 1)
-    ends = jnp.where(iota_n == 128 * iota_b_col + 127, 1.0, 0.0)
-    blk_sum = jax.lax.dot_general(cdf_b, ends, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    # sltb[k, b] = [k < b] -> exclusive prefix over blocks per row
-    sltb = (_iota((nb, nb), 0) < _iota((nb, nb), 1)).astype(jnp.float32)
-    p_ex = jax.lax.dot_general(blk_sum, sltb, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    e_inc = p_ex + blk_sum                                  # (TILE_B, nb)
-
-    jcol = _iota((n, 1), 0).astype(jnp.float32)
-    iota_b = _iota((n, nb), 1)
-    iota_l = _iota((n, 128), 1)
-
-    cols = [[] for _ in range(n_l)]
-    for row in range(tile_b):
-        e_row = e_inc[row:row + 1, :]                       # (1, nb)
-        p_row = p_ex[row:row + 1, :]                        # (1, nb)
-        total = e_inc[row, nb - 1]
-        u_col = (jcol + u0[row, 0]) * (total / n)           # (n, 1)
-
-        # ancestor block = #{b : e_inc[b] < u_j}  (one-hot over blocks)
-        cnt_b = jnp.sum(jnp.where(e_row < u_col, 1, 0),
-                        axis=1, keepdims=True)              # (n, 1)
-        rowsel = jnp.where(iota_b == cnt_b, 1.0, 0.0)       # (n, nb)
-
-        # block-local threshold
-        uloc = u_col - jnp.sum(rowsel * p_row, axis=1, keepdims=True)
-
-        # fetch the ancestor block's CDF row and every leaf's block row
-        # in ONE matmul: rhs lanes = [cdf | leaf_0 | ... | leaf_{L-1}]
-        rhs = jnp.concatenate(
-            [_retile_row(cdf_b[row:row + 1, :], nb)]
-            + [_retile_row(leaf[row:row + 1, :], nb) for leaf in leaves],
-            axis=1)                                         # (nb, 128(1+L))
-        fetched = jax.lax.dot_general(
-            rowsel, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)             # (n, 128(1+L))
-        crows = fetched[:, :128]
-
-        # ancestor lane = #{l : cb[b*, l] < uloc}, clamped to the block
-        cnt_l = jnp.sum(jnp.where(crows < uloc, 1, 0),
-                        axis=1, keepdims=True)
-        lanesel = jnp.where(iota_l == jnp.minimum(cnt_l, 127), 1.0, 0.0)
-        for leaf in range(n_l):
-            xrows = fetched[:, 128 * (1 + leaf):128 * (2 + leaf)]
-            cols[leaf].append(jnp.sum(lanesel * xrows, axis=1,
-                                      keepdims=True))       # (n, 1)
-    return [jnp.transpose(jnp.concatenate(cols[leaf], axis=1))
-            for leaf in range(n_l)]
-
-
-__all__ = ["select_leaves_dense", "select_leaves_blocked"]
+__all__ = ["select_leaves_dense"]

@@ -5,8 +5,8 @@ particle filter in VMEM for ANY model expressed as in-kernel hooks.
 (reference ``example/estimate_univ_svol.h:108-131`` semantics: run a
 bootstrap filter over all T observations, sum conditional
 log-likelihoods) — grid = (filter tiles, T), particle state persisting in
-VMEM scratch, hardware-PRNG propagation, gather-free systematic
-resampling on the MXU.  This module lifts that design into a *factory*:
+VMEM scratch, hardware-PRNG propagation, gather-free dense one-hot
+systematic resampling on the MXU (``ops/_select.py``).  This module lifts that design into a *factory*:
 a model plugs in three traceable cloud-level hooks and gets the same
 megakernel performance, the way the reference lets any model subclass
 ``BSFilter`` (``pf/bootstrap_filter.h`` hook set, SURVEY §2.3) and reuse
@@ -54,20 +54,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
-from ssme_tpu.ops._select import select_leaves_blocked
+from ssme_tpu.ops._select import select_leaves_dense
 from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
 
-# Hard ceiling for the in-kernel particle axis.  The two-level blocked
-# resampler (ops/_select.py) keeps only O(n * 128) transient VMEM per
-# tile row (the old dense one-hot needed (n, n) intermediates, which
-# capped n at 1024), so the ceiling is now set by the (n, 128*(1+L))
-# fetch buffer plus the (TILE_B, n) state/weight scratch.  Above this,
-# use the XLA path (filters.BootstrapFilter / the automatic dispatch in
-# megakernel_log_like) or shard the particle axis
-# (parallel.sharded_pf).  Measured on TPU v5e (see docs/kernels.md).
-MAX_KERNEL_PARTICLES = 4096
+# Hard ceiling for the in-kernel particle axis, MEASURED on TPU v5e
+# (examples/probe_vmem_fix.py, round 3): n=1024 compiles and runs at
+# both schedules (with per-substep regions — substep_regions auto);
+# n=2048 fails TPU compilation under the dense selector ((n, n) CDF +
+# one-hot transients) AND under the round-2 blocked selector (per-row
+# (n, 128*(1+L)) fetch buffers) — 16MB scoped VMEM either way.  Above
+# this, use the XLA path (filters.BootstrapFilter / the automatic
+# dispatch in megakernel_log_like) or shard the particle axis
+# (parallel.sharded_pf) — and prefer replicates anyway: R independent
+# n=512 filters log-mean-exp'd cost the same FLOPs and parallelize
+# perfectly across the row axis (docs/kernels.md "Particle caps").
+MAX_KERNEL_PARTICLES = 1024
 
 
 class _Rng:
@@ -111,7 +114,8 @@ class KernelModel:
 
 def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                  mode: str = "bootstrap", steps_per_cell: int = 1,
-                 num_tiles: int = 1):
+                 num_tiles: int = 1, num_steps: int = 0,
+                 substep_regions: bool = False):
     n = num_particles
     n_leaves = kmodel.num_state
     k_steps = steps_per_cell
@@ -121,7 +125,7 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
     fns = kmodel.functional_list
     n_fns = len(fns)
 
-    def kernel(seed_ref, ys_ref, zs_ref, params_ref,
+    def kernel(seed_ref, ys_ref, zs_ref, params_ref, lt_ref,
                out_ref, *rest):
         fmean_refs = rest[:n_fns]
         scratch = rest[n_fns:]
@@ -130,11 +134,12 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
         carry_scr = scratch[n_leaves + 1]   # LSE(lw_scr) in every lane
         b = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-tile threefry-derived seed (_prng.tile_seeds); the second
-        # hardware-seed scalar mixes the grid cell AND the tile index so
-        # every cell reseeds and two tiles whose iid threefry seeds
-        # collide (prob ~2^-32 per pair) still get distinct streams
-        pltpu.prng_seed(seed_ref[b], tc * num_tiles + b)
+        # two threefry-derived seed words per tile (_prng.tile_seeds);
+        # the grid cell and tile index are XOR-mixed into the second
+        # word so every cell reseeds with a distinct 64-bit-derived
+        # stream (two streams collide with prob ~2^-64 per pair)
+        pltpu.prng_seed(seed_ref[2 * b],
+                        seed_ref[2 * b + 1] ^ (tc * num_tiles + b))
 
         p = params_ref[:]                                    # (8, P)
 
@@ -150,16 +155,16 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 
         def select_leaves(w, leaves):
             """Systematic ancestor selection of every (8, n) leaf by
-            the per-row weights ``w``, gather-free and two-level
-            blocked (``ops/_select.select_leaves_blocked``): leaf rows
-            are fetched jointly by the same ancestors
-            (liu_west_filter.h:90-145 joint-gather semantics) in
-            O(n * 128(1+L)) work per row instead of the dense one-hot's
-            O(n^2); the selection matmuls run at Precision.HIGHEST so
-            the gather is EXACT in f32 (the MXU default truncates
-            inputs to bf16 — docs/kernels.md "Precision")."""
+            the per-row weights ``w``, gather-free on the MXU
+            (``ops/_select.select_leaves_dense``): leaf rows are
+            gathered jointly by the same ancestors
+            (liu_west_filter.h:90-145 joint-gather semantics).  The
+            gather matmul runs at the MXU default precision, so
+            gathered VALUES pass through bf16 — which is why densities
+            are RE-EVALUATED after selection rather than carried
+            through it (see apf_step / docs/kernels.md "Precision")."""
             u0 = _prng.uniform_offset((TILE_B, 1))           # (8, 1)
-            return select_leaves_blocked(w, leaves, u0)
+            return select_leaves_dense(w, leaves, u0, lt_ref[:])
 
         def stage_outputs(t, lcl, fmeans):
             # stage into the revisited (8, 128) output blocks (flushed
@@ -240,12 +245,19 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             w_fs = jnp.exp(fsw - m_fs)
             s_fs = jnp.sum(w_fs, axis=-1, keepdims=True)
 
-            # carry the already-computed lookahead density through the
-            # selection as an extra leaf rather than re-evaluating
-            # log_weight at the selected lookahead points
-            picked = select_leaves(w_fs, list(cur) + [lg_look])
+            # select the (state, lookahead) leaves jointly, then
+            # RE-EVALUATE the lookahead density at the selected points:
+            # the selection gather runs at the MXU default precision
+            # (values pass through bf16), and carrying a rounded
+            # density alongside exact-er points biases the second-stage
+            # ratio (the LW factory measured ~0.8 nats over T=300 from
+            # exactly this; liu_west_megakernel.py's precision note) —
+            # one extra elementwise log_weight is cheaper than an exact
+            # HIGHEST-precision gather
+            picked = select_leaves(w_fs, list(cur) + list(look))
             state_sel = tuple(picked[:n_leaves])
-            lg_look_sel = picked[n_leaves]
+            look_sel = tuple(picked[n_leaves:])
+            lg_look_sel = kmodel.log_weight(p, look_sel, y, z)
 
             new_state = kmodel.propagate(_Rng, p, state_sel, y, z)
             for leaf in range(n_leaves):
@@ -268,7 +280,13 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 
         # K time steps per grid cell (amortizes the fixed per-cell
         # overhead, which dominates non-resampling cells under the
-        # ESS-adaptive schedule)
+        # ESS-adaptive schedule).  Substeps k >= 1 run straight-line by
+        # default (fastest); substep_regions=True wraps each advance in
+        # its own pl.when region — the compile fallback when inlined
+        # selector transients overflow the 16MB scoped VMEM (Mosaic
+        # scopes a region's stack but accumulates straight-line live
+        # ranges; the round-2 parity regression, BENCH_r02).  The
+        # t < num_steps predicate is runtime-true for every real step.
         for k in range(k_steps):
             t = tc * k_steps + k
             y, z = obs_at(t)
@@ -279,6 +297,10 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                         init_t0(y, z)
 
                     @pl.when(tc > 0)
+                    def _(y=y, z=z):
+                        bootstrap_advance(y, z)
+                elif substep_regions:
+                    @pl.when(t < num_steps)
                     def _(y=y, z=z):
                         bootstrap_advance(y, z)
                 else:
@@ -294,6 +316,10 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                     @pl.when(tc > 0)
                     def _(t=t, y=y, z=z):
                         apf_step(t, y, z)
+                elif substep_regions:
+                    @pl.when(t < num_steps)
+                    def _(t=t, y=y, z=z):
+                        apf_step(t, y, z)
                 else:
                     apf_step(t, y, z)
 
@@ -302,14 +328,16 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 
 @functools.partial(jax.jit, static_argnames=("kmodel", "num_particles",
                                              "interpret", "ess_threshold",
-                                             "mode", "steps_per_cell"))
+                                             "mode", "steps_per_cell",
+                                             "substep_regions"))
 def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                       num_particles: int = 512, interpret: bool = False,
                       ess_threshold: float = 1.0, mode: str = "bootstrap",
-                      steps_per_cell: int = 8):
+                      steps_per_cell: int = 8, substep_regions=None):
     """Run B whole-sequence particle filters in one ``pallas_call``.
 
-    seed: int32 scalar; params: (B, num_params) constrained rows;
+    seed: int32 scalar or a ``jax.random`` key (see ``_prng.tile_seeds``);
+    params: (B, num_params) constrained rows;
     ys: (T,) or (T, dim_obs); zs: (T, dim_cov) covariates (or None).
     Returns ``(total (B,), per_step_lcl (B, T), functional_mean)``
     where ``functional_mean`` is ``(B, T)`` for a single functional or
@@ -324,6 +352,10 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     observation density) or "apf" (Pitt-Shephard auxiliary PF: requires
     the model's ``prop_mu`` hook; first-stage lookahead selection every
     step; ``ess_threshold`` is ignored).
+
+    substep_regions: wrap each substep's advance in its own pl.when
+    region (compile fallback for scoped-VMEM pressure; slower).
+    Default None = auto: straight-line at n <= 512, regions above.
     """
     ys = jnp.asarray(ys, jnp.float32).reshape(-1, kmodel.dim_obs)
     t_len = ys.shape[0]
@@ -350,9 +382,9 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         raise ValueError(f"num_particles={n} must be a multiple of 128")
     if n > MAX_KERNEL_PARTICLES:
         raise ValueError(
-            f"num_particles={n}: the in-VMEM state/weight scratch and "
-            f"the blocked resampler's (n, 128) fetch buffers exceed "
-            f"scoped VMEM above {MAX_KERNEL_PARTICLES}. Use the XLA "
+            f"num_particles={n}: the resident (n, n) CDF matrix and the "
+            f"selector's one-hot transients exceed scoped VMEM above "
+            f"{MAX_KERNEL_PARTICLES} (measured on v5e). Use the XLA "
             "path (filters.BootstrapFilter, or megakernel_log_like's "
             "automatic dispatch via model=) or shard the particle axis "
             "(parallel.sharded_pf).")
@@ -380,16 +412,21 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     seed_arr = _prng.tile_seeds(seed, b // TILE_B)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
     n_fns = len(kmodel.functional_list)
+    if substep_regions is None:
+        substep_regions = n > 512
+    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
 
     outs = pl.pallas_call(
         _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps,
-                     b // TILE_B),
+                     b // TILE_B, t_len, bool(substep_regions)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(b // TILE_B, t_cells),
             in_specs=[
                 pl.BlockSpec((TILE_B, kmodel.num_params),
                              lambda i, t, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -409,7 +446,7 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             for _ in range(1 + n_fns)
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, ys, zs, params)
+    )(seed_arr, ys, zs, params, lt)
     lcls = outs[0][:, :t_len]
     fmeans = tuple(f[:, :t_len] for f in outs[1:])
     if n_fns == 1:
@@ -458,11 +495,12 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
         p = constrain(params) if constrain is not None else params
         b_needed = c * r
         b = ((b_needed + TILE_B - 1) // TILE_B) * TILE_B
-        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        # key straight through to tile_seeds (64-bit per-iteration
+        # stream separation, VERDICT r2 item 6)
         batch = jnp.repeat(p, r, axis=0)
         pad = jnp.broadcast_to(p[:1], (b - b_needed, p.shape[1]))
         batch = jnp.concatenate([batch, pad], axis=0)
-        vals, _, _ = filter_megakernel(kmodel, seed, batch, ys, zs,
+        vals, _, _ = filter_megakernel(kmodel, key, batch, ys, zs,
                                        num_particles=num_particles,
                                        ess_threshold=ess_threshold,
                                        interpret=interpret)

@@ -46,7 +46,8 @@ reference's space mixing at ``liu_west_filter.h:385-388``), and hooks
 always receive CONSTRAINED values.
 
 Restrictions (same as the hand kernel): particles a multiple of 128
-(at most ``MAX_KERNEL_PARTICLES``), f32, static shapes.
+(at most ``MAX_LW_KERNEL_PARTICLES`` — smaller than the bootstrap
+factory's cap; see the constant's note), f32, static shapes.
 """
 
 from __future__ import annotations
@@ -64,10 +65,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
-from ssme_tpu.ops.filter_megakernel import MAX_KERNEL_PARTICLES
 
 TILE = 8
 _EPS_CHOL = 1e-9
+
+# Hard ceiling for the LW kernels' in-VMEM particle axis: the joint
+# state+parameter selection keeps the dense (n, n) lower-triangular CDF
+# matrix resident in VMEM (``lt`` operand below) plus (n, n) one-hot
+# transients in ``select_matmul`` — 4MB resident + 4MB transient at
+# n=1024, does not compile above that (docs/kernels.md "Particle
+# caps"; same dense design and same measured ceiling as the bootstrap
+# factory's MAX_KERNEL_PARTICLES, kept as a separate constant so the
+# two caps can move independently if either selector changes).  Above
+# this, use the XLA path (filters.LiuWestFilter) or shard the particle
+# axis (parallel.sharded_pf).
+MAX_LW_KERNEL_PARTICLES = 1024
 
 _CODES = ("null", "log", "logit", "twice_fisher")
 
@@ -205,11 +217,12 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
         s_scr, gram_scr = rest[n_fns + 1:]
         f = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-tile threefry-derived seed (_prng.tile_seeds); the second
-        # hardware-seed scalar mixes the grid cell AND the tile index so
-        # every cell reseeds and two tiles whose iid threefry seeds
-        # collide (prob ~2^-32 per pair) still get distinct streams
-        pltpu.prng_seed(seed_ref[f], tc * num_tiles + f)
+        # two threefry-derived seed words per tile (_prng.tile_seeds);
+        # the grid cell and tile index are XOR-mixed into the second
+        # word so every cell reseeds with a distinct 64-bit-derived
+        # stream (two streams collide with prob ~2^-64 per pair)
+        pltpu.prng_seed(seed_ref[2 * f],
+                        seed_ref[2 * f + 1] ^ (tc * num_tiles + f))
 
         def obs_at(t):
             # flattened row-major SMEM series (see filter_megakernel's
@@ -252,7 +265,10 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
                                pltpu.roll(cdf, shift=1, axis=1))
             jcol = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(
                 jnp.float32)
-            u_col = (jcol + u0_scalar) * (total / n)
+            # clamp: f32 rounding can push the last systematic point
+            # above total (when total/n rounds up), which would match
+            # NO lane and silently zero that output particle
+            u_col = jnp.minimum((jcol + u0_scalar) * (total / n), total)
             sel = jnp.where((cdf >= u_col) & (cdf_ex < u_col), 1.0, 0.0)
             picked = jax.lax.dot_general(
                 sel, jnp.transpose(src), (((1,), (0,)), ((), ())),
@@ -482,10 +498,10 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
     n = num_particles
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
-    if n > MAX_KERNEL_PARTICLES:
+    if n > MAX_LW_KERNEL_PARTICLES:
         raise ValueError(
             f"num_particles={n}: the in-VMEM lower-triangular CDF matrix "
-            f"is n^2 floats; above {MAX_KERNEL_PARTICLES} it exceeds "
+            f"is n^2 floats; above {MAX_LW_KERNEL_PARTICLES} it exceeds "
             "scoped VMEM. Use the XLA path (filters.LiuWestFilter) or "
             "shard the particle axis (parallel.sharded_pf).")
     if kmodel.tile_rows > 128:
@@ -587,6 +603,52 @@ def lw_cloud_weights(kmodel: LWKernelModel, cloud):
 def lw_cloud_states(kmodel: LWKernelModel, cloud):
     """(F, tile_rows, N) -> (F, S, N) state particle rows."""
     return cloud[:, :kmodel.num_state, :]
+
+
+def lw_kernel_sim_future_obs(kmodel: LWKernelModel, model, cloud, key,
+                             num_steps: int, delta: float = 0.99,
+                             variant: str = "apf", last_obs=None):
+    """Future simulation FROM a megakernel run's exposed final cloud.
+
+    The future-simulator surface (``liu_west_filter.h:693-738`` and the
+    covariate variant ``:1315-1363``) is not inside the Pallas kernel —
+    forecasting is a tiny post-pass, not a hot loop — so this bridge
+    decodes the kernel's final cloud and delegates to the XLA
+    ``filters.LiuWestFilter.sim_future_obs`` (which also fixes the
+    reference's latent ``m_delta`` bug, ``:719``).
+
+    kmodel/cloud: the :func:`lw_megakernel` model and its ``cloud``
+    output (F, tile_rows, N).  ``model``: the matching
+    :class:`~ssme_tpu.models.base.StateSpaceModel` (the same pairing as
+    ``megakernel_log_like``'s large-N bridge) supplying ``sample_f`` /
+    ``sample_g`` / transforms.  ``delta``/``variant`` as passed to the
+    kernel.  ``last_obs``: required for covariate models (observations
+    feed back as covariates, the enforced convention of ``:1255,2419``).
+
+    Returns (F, num_steps, N, dim_obs) simulated observation paths.
+
+    Note: the cloud's carried weights are IGNORED (the reference
+    simulators also continue from the raw particle set).  Under the
+    canonical resample-every-step schedule the final cloud is uniform;
+    with ``resample_every > 1`` / ESS-gated schedules, resample the
+    cloud by :func:`lw_cloud_weights` first if uniform-weight paths are
+    wanted.
+    """
+    from ssme_tpu.filters.liu_west import LiuWestFilter
+
+    cloud = jnp.asarray(cloud)
+    n = cloud.shape[-1]
+    states = jnp.swapaxes(lw_cloud_states(kmodel, cloud), 1, 2)  # (F,N,S)
+    th0 = kmodel.num_state + 1
+    trans = jnp.swapaxes(
+        cloud[:, th0:th0 + kmodel.num_params, :], 1, 2)          # (F,N,P)
+    filt = LiuWestFilter(model, num_particles=n, delta=delta,
+                         variant=variant)
+    keys = jax.random.split(key, cloud.shape[0])
+    return jax.vmap(
+        lambda st, th, k: filt.sim_future_obs(k, st, th, num_steps,
+                                              last_obs=last_obs)
+    )(states, trans, keys)
 
 
 # ---------------------------------------------------------------------------
@@ -715,5 +777,6 @@ def svol_t_lw_kernel_model(
 
 __all__ = ["LWKernelModel", "lw_megakernel", "lw_cloud_params",
            "lw_cloud_weights", "lw_cloud_states",
+           "lw_kernel_sim_future_obs",
            "svol_leverage_lw_kernel_model", "svol_t_lw_kernel_model",
-           "TILE"]
+           "MAX_LW_KERNEL_PARTICLES", "TILE"]

@@ -9,13 +9,13 @@ log-likelihoods) executed as ONE ``pallas_call``:
   scratch — the filter state NEVER touches HBM during the scan;
 - propagation + weighting use the TPU hardware PRNG (Box-Muller) fused
   with the SVOL recursions (``univ_svol_bootstrap_filter.h:74-86``);
-- systematic resampling is gather-free and two-level blocked
-  (``ops/_select.select_leaves_blocked``): intra-128-block CDFs via a
-  lane-masked roll scan, a tiny cross-block prefix, and counting
-  selection that touches only the ancestor's block — O(n * 256) work
-  per row instead of the dense one-hot's O(n^2).  XLA's alternatives
-  measured on this chip: dynamic lane gathers ~450us each, cumsum
-  ~260us, dense compare materialized to HBM ~690us — all avoided;
+- systematic resampling is gather-free dense one-hot selection on the
+  MXU (``ops/_select.select_leaves_dense``): CDF = one matmul with the
+  (n, n) lower-triangular ones matrix, ancestors as per-row one-hot
+  selection matmuls.  XLA's alternatives measured on this chip:
+  dynamic lane gathers ~450us each, cumsum ~260us, dense compare
+  materialized to HBM ~690us — all avoided (a two-level blocked
+  variant measured 4x slower; see ``_select.py``'s history note);
 - observations stream through SMEM (scalar prefetch); per-step
   conditional log-likelihoods are staged in the revisited output block
   (flushed to HBM once per 128 steps).
@@ -44,28 +44,30 @@ from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 tile_seeds as _tile_seeds,
                                 uniform_bits as _uniform_bits,
                                 uniform_offset as _uniform_offset)
-from ssme_tpu.ops._select import select_leaves_blocked
+from ssme_tpu.ops._select import select_leaves_dense
 from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
 
 
 def _make_kernel(num_particles: int, ess_frac: float,
-                 steps_per_cell: int = 1, num_tiles: int = 1):
+                 steps_per_cell: int = 1, num_tiles: int = 1,
+                 num_steps: int = 0, substep_regions: bool = False):
     n = num_particles
     k_steps = steps_per_cell
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
 
-    def kernel(seed_ref, ys_ref, params_ref, out_ref, xmean_ref,
+    def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref, xmean_ref,
                x_scr, lw_scr, carry_scr):
         b = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-tile threefry-derived seed (_prng.tile_seeds); the second
-        # hardware-seed scalar mixes the grid cell AND the tile index so
-        # every cell reseeds and two tiles whose iid threefry seeds
-        # collide (prob ~2^-32 per pair) still get distinct streams
-        pltpu.prng_seed(seed_ref[b], tc * num_tiles + b)
+        # two threefry-derived seed words per tile (_prng.tile_seeds);
+        # the grid cell and tile index are XOR-mixed into the second
+        # word so every cell reseeds with a distinct 64-bit-derived
+        # stream (two streams collide with prob ~2^-64 per pair)
+        pltpu.prng_seed(seed_ref[2 * b],
+                        seed_ref[2 * b + 1] ^ (tc * num_tiles + b))
 
         beta = params_ref[:, 0:1]
         phi = params_ref[:, 1:2]
@@ -81,10 +83,12 @@ def _make_kernel(num_particles: int, ess_frac: float,
             w = jnp.exp(lw_scr[:])                           # (8, n)
 
             def resample():
-                # two-level blocked systematic selection (_select.py):
-                # O(n * 256) per row vs the dense one-hot's O(n^2)
+                # dense one-hot systematic selection on the MXU
+                # (_select.select_leaves_dense — measured 4x faster per
+                # resample than the round-2 blocked form it replaced)
                 u0 = _uniform_offset((TILE_B, 1))             # (8, 1)
-                (picked,) = select_leaves_blocked(w, [x_scr[:]], u0)
+                (picked,) = select_leaves_dense(w, [x_scr[:]], u0,
+                                                lt_ref[:])
                 x_scr[:] = picked
                 # weights reset to uniform: log W = 0, LSE = log n
                 lw_scr[:] = jnp.zeros_like(lw_scr)
@@ -149,8 +153,20 @@ def _make_kernel(num_particles: int, ess_frac: float,
 
         # K time steps per grid cell: amortizes the fixed per-cell
         # overhead (~0.8us measured), which dominates non-resampling
-        # cells under the ESS-adaptive schedule
+        # cells under the ESS-adaptive schedule.  Substeps k >= 1 run
+        # straight-line by default (fastest — measured: wrapping every
+        # substep in a pl.when region cost ~4us/step at the adaptive
+        # schedule).  With substep_regions=True each advance runs in
+        # its own pl.when REGION instead: Mosaic stack-allocates a
+        # region's transients separately but ACCUMULATES straight-line
+        # live ranges, so the region form is the compile fallback if a
+        # config's inlined selector transients overflow the 16MB scoped
+        # VMEM (the round-2 blocked-resampler parity regression,
+        # BENCH_r02).  The t < num_steps predicate is runtime-true for
+        # every real step (the padded tail beyond T is the only skip,
+        # and its outputs are sliced away anyway).
         for k in range(k_steps):
+            t = tc * k_steps + k
             if k == 0:
                 @pl.when(tc == 0)
                 def _():
@@ -159,21 +175,27 @@ def _make_kernel(num_particles: int, ess_frac: float,
                 @pl.when(tc > 0)
                 def _():
                     maybe_resample_and_propagate()
+            elif substep_regions:
+                pl.when(t < num_steps)(maybe_resample_and_propagate)
             else:
                 maybe_resample_and_propagate()
-            weight_and_stage(tc * k_steps + k)
+            weight_and_stage(t)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("num_particles", "interpret",
                                              "ess_threshold",
-                                             "steps_per_cell"))
+                                             "steps_per_cell",
+                                             "substep_regions"))
 def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
-                       ess_threshold=1.0, steps_per_cell=8):
+                       ess_threshold=1.0, steps_per_cell=8,
+                       substep_regions=None):
     """Full-sequence SVOL bootstrap filtering for B filters at once.
 
-    seed: int32 scalar; params: (B, 3) constrained [beta, phi, sigma]
+    seed: int32 scalar or a ``jax.random`` key (the PMMH hooks pass
+    their iteration key — see ``_prng.tile_seeds`` on why);
+    params: (B, 3) constrained [beta, phi, sigma]
     (note: sigma, NOT sigma^2 — precompute sqrt); ys: (T,) or (T, 1).
     Returns (total (B,), per_step_lcl (B, T), filtered_x_mean (B, T)):
     total = sum_t log p(y_t | y_{1:t-1}); filtered_x_mean is the
@@ -184,6 +206,11 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     this fraction of n (1.0 = every step, the reference default;
     0.5 = the standard adaptive schedule, ~3x faster — the evidence
     estimator stays unbiased, cf. ``resampling.maybe_resample``).
+
+    substep_regions: wrap each substep's advance in its own pl.when
+    region (compile fallback for scoped-VMEM pressure; slower —
+    see the kernel-body comment).  Default None = auto: straight-line
+    at n <= 512, regions above (n=1024 parity needs them).
     """
     ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
     t_len = ys.shape[0]
@@ -205,14 +232,20 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
 
     seed_arr = _tile_seeds(seed, b // TILE_B)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
+    if substep_regions is None:
+        substep_regions = n > 512
+    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
 
     lcls = pl.pallas_call(
-        _make_kernel(n, float(ess_threshold), k_steps, b // TILE_B),
+        _make_kernel(n, float(ess_threshold), k_steps, b // TILE_B,
+                     t_len, bool(substep_regions)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
             grid=(b // TILE_B, t_cells),
             in_specs=[
                 pl.BlockSpec((TILE_B, 3), lambda i, t, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -234,7 +267,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
             jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, ys, params.astype(jnp.float32))
+    )(seed_arr, ys, params.astype(jnp.float32), lt)
     lcls, xmeans = lcls
     lcls = lcls[:, :t_len]
     return jnp.sum(lcls, axis=-1), lcls, xmeans[:, :t_len]
@@ -255,10 +288,12 @@ def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int,
     b = ((r + TILE_B - 1) // TILE_B) * TILE_B
 
     def ll(key, params, ys):
-        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        # the key goes straight through to tile_seeds: full 64-bit
+        # per-iteration stream separation (VERDICT r2 item 6; the old
+        # 31-bit randint had a ~2% birthday collision over 1e4 iters)
         p = jnp.stack([params[0], params[1], jnp.sqrt(params[2])])
         batch = jnp.broadcast_to(p, (b, 3))
-        vals, _, _ = svol_filter_pallas(seed, batch, ys,
+        vals, _, _ = svol_filter_pallas(key, batch, ys,
                                         num_particles=num_particles,
                                         ess_threshold=ess_threshold)
         return logmeanexp(vals[:r])
@@ -284,7 +319,8 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
         c = params.shape[0]
         b_needed = c * r
         b = ((b_needed + TILE_B - 1) // TILE_B) * TILE_B
-        seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+        # key straight through to tile_seeds (64-bit per-iteration
+        # stream separation; see svol_pallas_replicated_log_like)
         p = jnp.stack([params[:, 0], params[:, 1],
                        jnp.sqrt(params[:, 2])], axis=-1)     # (C, 3)
         batch = jnp.repeat(p, r, axis=0)                      # (C*R, 3)
@@ -293,7 +329,7 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
         # ESS resampling gate for every real filter sharing it
         pad = jnp.broadcast_to(p[:1], (b - b_needed, 3))
         batch = jnp.concatenate([batch, pad], axis=0)
-        vals, _, _ = svol_filter_pallas(seed, batch, ys,
+        vals, _, _ = svol_filter_pallas(key, batch, ys,
                                         num_particles=num_particles,
                                         ess_threshold=ess_threshold)
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)

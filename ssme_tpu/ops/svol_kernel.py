@@ -58,10 +58,10 @@ def _kernel(seed_ref, y_ref, params_ref, x_ref, lw_ref, out_x_ref,
             out_lw_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # distinct stream per grid cell and per call: per-batch-tile
-    # threefry-derived seed (_prng.tile_seeds) + particle-tile index as
-    # the second hardware-seed scalar
-    pltpu.prng_seed(seed_ref[i], j)
+    # distinct stream per grid cell and per call: two threefry-derived
+    # seed words per batch tile (_prng.tile_seeds), particle-tile index
+    # XOR-mixed into the second word
+    pltpu.prng_seed(seed_ref[2 * i], seed_ref[2 * i + 1] ^ j)
 
     eps = normal_bits(x_ref.shape)
 

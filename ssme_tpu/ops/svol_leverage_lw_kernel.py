@@ -94,11 +94,12 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                s_scr, gram_scr):
         f = pl.program_id(0)
         tc = pl.program_id(1)
-        # per-tile threefry-derived seed (_prng.tile_seeds); the second
-        # hardware-seed scalar mixes the grid cell AND the tile index so
-        # every cell reseeds and two tiles whose iid threefry seeds
-        # collide (prob ~2^-32 per pair) still get distinct streams
-        pltpu.prng_seed(seed_ref[f], tc * num_tiles + f)
+        # two threefry-derived seed words per tile (_prng.tile_seeds);
+        # the grid cell and tile index are XOR-mixed into the second
+        # word so every cell reseeds with a distinct 64-bit-derived
+        # stream (two streams collide with prob ~2^-64 per pair)
+        pltpu.prng_seed(seed_ref[2 * f],
+                        seed_ref[2 * f + 1] ^ (tc * num_tiles + f))
 
         def stage_lcl(t, lcl_val):
             col = jax.lax.rem(t, 128)
@@ -122,7 +123,10 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
                                pltpu.roll(cdf, shift=1, axis=1))
             jcol = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(
                 jnp.float32)
-            u_col = (jcol + u0_scalar) * (total / n)
+            # clamp: f32 rounding can push the last systematic point
+            # above total (when total/n rounds up), which would match
+            # NO lane and silently zero that output particle
+            u_col = jnp.minimum((jcol + u0_scalar) * (total / n), total)
             sel = jnp.where((cdf >= u_col) & (cdf_ex < u_col), 1.0, 0.0)
             picked = jax.lax.dot_general(
                 sel, jnp.transpose(src), (((1,), (0,)), ((), ())),
@@ -350,6 +354,13 @@ def svol_leverage_lw_pallas(seed, ys, num_filters=1, num_particles=512,
     n = num_particles
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
+    from ssme_tpu.ops.liu_west_megakernel import MAX_LW_KERNEL_PARTICLES
+    if n > MAX_LW_KERNEL_PARTICLES:
+        raise ValueError(
+            f"num_particles={n}: the in-VMEM lower-triangular CDF matrix "
+            f"is n^2 floats; above {MAX_LW_KERNEL_PARTICLES} it exceeds "
+            "scoped VMEM. Use the XLA path (filters.LiuWestFilter) or "
+            "shard the particle axis (parallel.sharded_pf).")
     k_steps = int(steps_per_cell)
     if k_steps < 1 or 128 % k_steps:
         raise ValueError("steps_per_cell must divide 128")

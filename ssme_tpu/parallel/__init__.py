@@ -1,3 +1,8 @@
+from ssme_tpu.parallel.distributed import (
+    fetch_across_hosts,
+    initialize_distributed,
+    make_global_mesh,
+)
 from ssme_tpu.parallel.kernel_sharded import (
     shard_batched_log_like,
     sharded_megakernel_log_like,
@@ -14,4 +19,5 @@ __all__ = [
     "make_mesh", "chain_sharding", "particle_sharding",
     "shard_chain_state", "jit_sharded_pmmh",
     "shard_batched_log_like", "sharded_megakernel_log_like",
+    "initialize_distributed", "make_global_mesh", "fetch_across_hosts",
 ]

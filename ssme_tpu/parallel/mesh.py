@@ -64,16 +64,37 @@ def particle_sharding(mesh: Mesh, leading_batch_dims: int = 0
                                  PARTICLE_AXIS))
 
 
+def _place(leaf, mesh, spec):
+    """device_put, or — when the mesh spans multiple PROCESSES and the
+    sharding is not fully addressable from this one — assemble the
+    global array from this process's local shards of the (identical
+    everywhere, SPMD contract) host value.  Typed PRNG-key leaves go
+    through key_data/wrap_key_data (they cannot be viewed as numpy)."""
+    sharding = NamedSharding(mesh, spec)
+    if sharding.is_fully_addressable:
+        return jax.device_put(leaf, sharding)
+    if jax.numpy.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(leaf))
+        dspec = P(*(tuple(spec) + (None,) * (data.ndim - leaf.ndim)))
+        arr = jax.make_array_from_callback(
+            data.shape, NamedSharding(mesh, dspec), lambda idx: data[idx])
+        return jax.random.wrap_key_data(arr, impl=jax.random.key_impl(leaf))
+    host = np.asarray(leaf)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
 def shard_chain_state(state, mesh: Mesh):
     """Place a chain-leading pytree (e.g. ``PMMHState``) on the mesh with
-    the chain axis sharded; scalars replicate."""
+    the chain axis sharded; scalars replicate.  Works on single-process
+    AND multi-process (pod) meshes — see
+    :mod:`ssme_tpu.parallel.distributed` for the multi-host recipe."""
     def put(leaf):
         leaf = jax.numpy.asarray(leaf)
         if leaf.ndim == 0:
-            return jax.device_put(leaf, NamedSharding(mesh, P()))
-        return jax.device_put(
-            leaf, NamedSharding(mesh, P(CHAIN_AXIS,
-                                        *([None] * (leaf.ndim - 1)))))
+            return _place(leaf, mesh, P())
+        return _place(leaf, mesh,
+                      P(CHAIN_AXIS, *([None] * (leaf.ndim - 1))))
     return jax.tree_util.tree_map(put, state)
 
 

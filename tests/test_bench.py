@@ -1,39 +1,42 @@
-"""bench.py contract test: one valid JSON line on stdout (CPU, tiny)."""
+"""bench.py contract tests: one valid JSON line on stdout (CPU, tiny),
+including with an injected Pallas-path fault (the subprocess-isolation
+fallback of VERDICT r2 item 2)."""
 
 import json
 import os
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def test_bench_emits_json_line():
+
+def _run_bench(extra_env):
     env = dict(os.environ)
     env.update({
         "BENCH_PARTICLES": "64",
         "BENCH_REPLICATES": "2",
         "BENCH_CHAINS": "1",
         "BENCH_ITERS": "2",
-        "BENCH_IMPL": "xla",
-        # force CPU before the axon sitecustomize pins the tunnel: bench
-        # itself runs on whatever platform is live
-        "JAX_PLATFORMS": "cpu",
+        # bench honors BENCH_PLATFORM itself (and propagates it to its
+        # worker subprocesses), overriding any sitecustomize platform
+        "BENCH_PLATFORM": "cpu",
     })
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # sitecustomize clobbers JAX_PLATFORMS; strip .axon_site so the env
-    # var holds (the driver's TPU run keeps it, which is what we want)
-    env["PYTHONPATH"] = repo
-    env.pop("JAX_PLATFORMS")
-    code = (
-        "import jax; jax.config.update('jax_platforms','cpu');"
-        "import runpy; runpy.run_path(r'%s', run_name='__main__')"
-        % os.path.join(repo, "bench.py"))
-    out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=900)
+    env.update(extra_env)
+    return subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+
+
+def _payload(out):
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [l for l in out.stdout.strip().split("\n")
                   if l.startswith("{")]
     assert len(json_lines) == 1, out.stdout
-    payload = json.loads(json_lines[0])
+    return json.loads(json_lines[0])
+
+
+def test_bench_emits_json_line():
+    payload = _payload(_run_bench({"BENCH_IMPL": "xla"}))
     assert payload["metric"] == "pmmh_particle_propagations_per_sec_per_chip"
     assert payload["value"] > 0
     assert payload["unit"] == "propagations/s/chip"
@@ -41,33 +44,29 @@ def test_bench_emits_json_line():
     # VERDICT r1: the artifact must carry BOTH schedules
     assert payload["parity"] > 0
     assert payload["adaptive"] == payload["value"]
+    assert payload["impl"] == {"parity": "xla", "adaptive": "xla"}
+
+
+def test_bench_survives_pallas_fault():
+    """Killing the Pallas measurement process artificially still yields
+    a valid JSON artifact from the XLA path (BENCH_r02 post-mortem: the
+    old in-process fallback died with the TPU worker)."""
+    payload = _payload(_run_bench({"BENCH_IMPL": "pallas",
+                                   "BENCH_FAULT": "pallas"}))
+    assert payload["value"] > 0 and payload["parity"] > 0
+    assert payload["impl"] == {"parity": "xla", "adaptive": "xla"}
 
 
 def test_bench_scaling_mode():
-    env = dict(os.environ)
-    env.update({
+    out = _run_bench({
         "BENCH_MODE": "scaling",
         "BENCH_PARTICLES": "32",
         "BENCH_REPLICATES": "1",
-        "BENCH_CHAINS": "1",
         "BENCH_ITERS": "2",
         "BENCH_T": "16",
+        "BENCH_CPU_DEVICES": "4",
     })
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo
-    env.pop("JAX_PLATFORMS", None)
-    code = (
-        "import jax; jax.config.update('jax_platforms','cpu');"
-        "jax.config.update('jax_num_cpu_devices', 4);"
-        "import runpy; runpy.run_path(r'%s', run_name='__main__')"
-        % os.path.join(repo, "bench.py"))
-    out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=900)
-    assert out.returncode == 0, out.stderr[-2000:]
-    json_lines = [l for l in out.stdout.strip().split("\n")
-                  if l.startswith("{")]
-    assert len(json_lines) == 1, out.stdout
-    payload = json.loads(json_lines[0])
+    payload = _payload(out)
     assert payload["metric"] == "pmmh_chain_scaling"
     rows = payload["rows"]
     assert [r["devices"] for r in rows] == [1, 2, 4]

@@ -45,16 +45,37 @@ def test_shape_validation():
 
 
 def test_tile_seeds_threefry_derivation():
-    """Per-tile kernel seeds are threefry-derived (VERDICT r1 #8): all
-    distinct, seed-sensitive, and not an affine function of the tile
-    index (the old ``seed + b * 1000003`` fold was)."""
+    """Per-tile kernel seeds are threefry-derived (VERDICT r1 #8): two
+    words per tile (VERDICT r2 #6), all distinct, seed-sensitive, and
+    not an affine function of the tile index (the old
+    ``seed + b * 1000003`` fold was)."""
     from ssme_tpu.ops._prng import tile_seeds
 
     s = np.asarray(tile_seeds(42, 64)).astype(np.int64)
-    assert len(np.unique(s)) == 64
+    assert s.shape == (128,)              # TWO seed words per tile
+    assert len(np.unique(s)) == 128
     assert not np.array_equal(s, np.asarray(tile_seeds(43, 64)))
     diffs = np.diff(s)
     assert len(np.unique(diffs)) > 1  # not affine in the index
+
+
+def test_tile_seeds_accepts_key_and_iteration_streams_distinct():
+    """A jax.random key passes straight through, and the (word0, word1)
+    pairs of >= 1e4 distinct iteration keys never collide — the 64-bit
+    stream separation of VERDICT r2 #6 (a single 31-bit word had ~2%
+    birthday collision probability at this scale)."""
+    import jax
+
+    from ssme_tpu.ops._prng import tile_seeds
+
+    keys = jax.random.split(jax.random.key(0), 10_000)
+    words = jax.vmap(lambda k: tile_seeds(k, 1))(keys)   # (1e4, 2)
+    w = np.asarray(words).astype(np.int64)
+    packed = (w[:, 0] << 32) ^ (w[:, 1] & 0xFFFFFFFF)
+    assert len(np.unique(packed)) == len(packed)
+    # int seeds still work and differ from each other
+    assert not np.array_equal(np.asarray(tile_seeds(1, 4)),
+                              np.asarray(tile_seeds(2, 4)))
 
 
 @pytest.mark.skipif(not ON_TPU, reason="needs real TPU PRNG")

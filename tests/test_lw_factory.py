@@ -170,3 +170,28 @@ def test_svol_t_lw_posterior_recovery_tpu():
     assert 0.8 < beta_hat < 1.2, post_mean
     assert 0.1 < sigma_hat < 0.45, post_mean
     assert 0.6 < phi_hat < 0.99, post_mean
+
+
+def test_lw_kernel_sim_future_obs_bridge():
+    """The future-simulation bridge (liu_west_filter.h:693-738 surface)
+    decodes the kernel's final cloud and continues on the XLA path:
+    shapes, finiteness, and covariate feedback (last_obs required)."""
+    from ssme_tpu.models import svol_leverage
+    from ssme_tpu.ops.liu_west_megakernel import lw_kernel_sim_future_obs
+
+    km = lwm.svol_leverage_lw_kernel_model()
+    ys = 0.05 * jax.random.normal(jax.random.key(0), (16,))
+    zs = jnp.concatenate([jnp.zeros((1,)), ys[:-1]])
+    out = lwm.lw_megakernel(km, 3, ys, zs=zs, num_filters=2,
+                            num_particles=128, interpret=True)
+    fut = lw_kernel_sim_future_obs(
+        km, svol_leverage.make_model(), out["cloud"], jax.random.key(1),
+        num_steps=4, last_obs=jnp.asarray([float(ys[-1])]))
+    assert fut.shape == (2, 4, 128, 1)
+    assert np.isfinite(np.asarray(fut)).all()
+    # covariate model without last_obs must refuse (the enforced
+    # lagged-observation convention, liu_west_filter.h:1255,2419)
+    with pytest.raises(ValueError, match="last_obs"):
+        lw_kernel_sim_future_obs(km, svol_leverage.make_model(),
+                                 out["cloud"], jax.random.key(1),
+                                 num_steps=2)
