@@ -21,13 +21,15 @@ this costs ~3.3us):
    matmul per row moves every leaf by the same ancestors
    (``liu_west_filter.h:90-145`` joint-gather semantics).
 
-Precision: the CDF matmul runs at ``Precision.HIGHEST`` (bf16-rounded
-weights would bias the resampling LAW itself — which particles get
-selected); the selection gather runs at the DEFAULT precision, so
-gathered VALUES pass through bf16 (~0.4%% relative noise on particle
-positions — statistically a harmless jitter, and 6x cheaper on the
-dominant matmul; densities that must be exact are re-evaluated after
-selection rather than gathered, cf. ``ops/liu_west_megakernel.py``).
+Precision: the CDF matmul runs as a two-pass compensated split
+(:func:`compensated_cdf` — single-pass-bf16-rounded weights would bias
+the resampling LAW itself, i.e. which particles get selected, while
+HIGHEST costs six passes); the selection gather runs at the DEFAULT
+precision, so gathered VALUES pass through bf16 (~0.4%% relative noise
+on particle positions — statistically a harmless jitter, and 6x
+cheaper on the dominant matmul; densities that must be exact are
+re-evaluated after selection rather than gathered, cf.
+``ops/liu_west_megakernel.py``).
 
 History (round 3, measured on v5e — ``examples/probe_kernel_speed.py``):
 a two-level blocked variant with O(n * 128) transients replaced this
@@ -42,6 +44,8 @@ needed.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +54,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def compensated_cdf(w, lt):
+    """Inclusive per-row weight CDF ``w @ lt`` as a two-pass compensated
+    matmul at DEFAULT precision: w = w_hi + w_lo with w_hi = bf16(w)
+    (the split is exact in f32 — Sterbenz), so the only rounding is
+    w_lo's bf16 pass: |err| <= 2^-16 |w| vs a single DEFAULT pass's
+    2^-8 (which perturbs the resampling LAW: selection boundaries move
+    ~2 inter-point spacings at n=512) and HIGHEST's ~2^-21 at SIX
+    passes (Mosaic rejects Precision.HIGH).  Two passes; boundary shift
+    ~2^-7 of one spacing — statistically invisible, and measured ~6%
+    faster per parity-schedule step than HIGHEST (probe_kernel_speed,
+    v5e round 3)."""
+    w_hi = w.astype(jnp.bfloat16).astype(jnp.float32)
+    w_lo = w - w_hi
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return dot(w_hi, lt) + dot(w_lo, lt)
 
 
 def select_leaves_dense(w, leaves, u0, lt):
@@ -63,9 +86,7 @@ def select_leaves_dense(w, leaves, u0, lt):
     """
     tile_b, n = w.shape
     n_l = len(leaves)
-    cdf = jax.lax.dot_general(w, lt, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+    cdf = compensated_cdf(w, lt)
     total = cdf[:, n - 1:n]
     lane0 = _iota((tile_b, n), 1)
     cdf_ex = jnp.where(lane0 == 0, 0.0, pltpu.roll(cdf, shift=1, axis=1))
@@ -88,4 +109,4 @@ def select_leaves_dense(w, leaves, u0, lt):
             for leaf in range(n_l)]
 
 
-__all__ = ["select_leaves_dense"]
+__all__ = ["compensated_cdf", "select_leaves_dense"]

@@ -65,6 +65,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
+from ssme_tpu.ops._select import compensated_cdf
 
 TILE = 8
 _EPS_CHOL = 1e-9
@@ -255,9 +256,10 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
             the (1, n) weights, gather-free (one-hot MXU matmuls; joint
             semantics of liu_west_filter.h:90-145)."""
             wtile = jnp.broadcast_to(weights_row, (TILE, n))
-            cdf8 = jax.lax.dot_general(
-                wtile, lt_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # two-pass compensated CDF (_select.compensated_cdf): ~2^-16
+            # relative error vs a single bf16 pass's 2^-8, which would
+            # perturb the joint (state, theta) resampling law itself
+            cdf8 = compensated_cdf(wtile, lt_ref[:])
             cdf = cdf8[0:1, :]
             total = cdf8[0, n - 1]
             lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)

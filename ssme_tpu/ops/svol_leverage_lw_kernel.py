@@ -53,6 +53,7 @@ from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 tile_seeds as _tile_seeds,
                                 uniform_bits as _uniform_bits,
                                 uniform_offset as _uniform_offset)
+from ssme_tpu.ops._select import compensated_cdf
 
 TILE = 8
 N_PARAM = 4  # phi, mu, sigma, rho
@@ -112,9 +113,10 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             """src (8, n); returns the (8, n) of systematically-selected
             ancestor columns, via one-hot matmul (no gathers)."""
             wtile = jnp.broadcast_to(weights_row, (TILE, n))
-            cdf8 = jax.lax.dot_general(
-                wtile, lt_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # two-pass compensated CDF (_select.compensated_cdf): ~2^-16
+            # relative error vs a single bf16 pass's 2^-8, which would
+            # perturb the joint (x, theta) resampling law itself
+            cdf8 = compensated_cdf(wtile, lt_ref[:])
             cdf = cdf8[0:1, :]
             total = cdf8[0, n - 1]
             # exact-partition exclusive CDF (see svol_filter_kernel note)
