@@ -40,6 +40,19 @@ dense form's (n, n) one-hots impose.  Dense won on every axis that
 matters; the blocked implementation lives in git history
 (ssme_tpu/ops/_select.py @ 34f2780) if a >1024 in-kernel cloud is ever
 needed.
+
+Also A/B'd and rejected (round 3, same probe, B=16 N=512 spc=8):
+
+- an Abel (suffix-difference) selection — S[j, i] = [u_j <= cdf_i]
+  from ONE compare, ``S @ dxt`` with compensated-bf16 suffix
+  differences telescoping to the gather: ~8% SLOWER at the parity
+  schedule (50.7 vs 47.1 ms; the doubled matmul width + sublane roll
+  cost more than the saved (n, n) compare pass — the compare passes
+  are NOT the resample block's bottleneck), ~even at the adaptive
+  schedule;
+- the same one-hot below emitted directly in bf16 (with a bf16 xt):
+  fails Mosaic compilation outright (remote tpu_compile_helper
+  crash), at both schedules.
 """
 
 from __future__ import annotations
