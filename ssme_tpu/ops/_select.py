@@ -52,7 +52,21 @@ Also A/B'd and rejected (round 3, same probe, B=16 N=512 spc=8):
   schedule;
 - the same one-hot below emitted directly in bf16 (with a bf16 xt):
   fails Mosaic compilation outright (remote tpu_compile_helper
-  crash), at both schedules.
+  crash), at both schedules;
+- f32 one-hot/xt explicitly ``.astype(bfloat16)`` at the selection
+  dot (casts compile fine, unlike direct bf16 emission): ~3% SLOWER
+  at the parity schedule (46.6 vs 45.4 ms) — the two extra cast
+  passes over (n, n) outweigh the halved MXU feed, so the selection
+  matmul is not the bottleneck either;
+- a fully TRANSPOSED selection — ancestors down sublanes,
+  ``x_row @ sel^T`` as an (L, n) @ (n, n) narrow dot landing outputs
+  on lanes with no column slicing and no final transpose (16x fewer
+  MXU slot-cycles at L=1): ~20% SLOWER at BOTH schedules (54.3/34.5
+  vs 45.4/27.2 ms) — sublane-broadcast compares and sublane rolls
+  are the VPU's slow axis, and they dominate the narrow dot's
+  savings.  The lane-major dense form below wins every A/B to date;
+  the resample block's remaining cost is spread across compare,
+  select, and relayout passes with no single dominant term.
 """
 
 from __future__ import annotations
