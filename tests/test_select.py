@@ -1,0 +1,144 @@
+"""Direct unit tests for the shared in-kernel systematic selector
+(``ssme_tpu/ops/_select.py``) against a float64 numpy oracle.
+
+The selector is otherwise exercised only end-to-end through the
+megakernels; these pin its LAW in isolation — which ancestors get
+picked (reference joint-gather semantics,
+``liu_west_filter.h:90-145``), the systematic count invariant, the
+compensated CDF's error bound, and the boundary-clamp edge cases —
+via a minimal interpret-mode ``pallas_call`` harness on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+from ssme_tpu.ops._select import compensated_cdf, select_leaves_dense
+
+B = 8
+N = 256
+
+
+def _run_select(w, leaves, u0):
+    n = w.shape[1]
+    n_l = len(leaves)
+    lt = np.tril(np.ones((n, n), np.float32)).T
+
+    def kernel(w_ref, u0_ref, lt_ref, *refs):
+        leaf_refs, out_refs = refs[:n_l], refs[n_l:]
+        picked = select_leaves_dense(w_ref[:], [r[:] for r in leaf_refs],
+                                     u0_ref[:], lt_ref[:])
+        for o, p in zip(out_refs, picked):
+            o[:] = p
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((w.shape[0], n), jnp.float32)
+                   for _ in range(n_l)],
+        interpret=True,
+    )(jnp.asarray(w, jnp.float32), jnp.asarray(u0, jnp.float32),
+      jnp.asarray(lt), *[jnp.asarray(l, jnp.float32) for l in leaves])
+    return [np.asarray(o) for o in outs]
+
+
+def _oracle_indices(w_row, u0_row):
+    """f64 systematic ancestors: k_j = first i with cdf_i >= u_j."""
+    cdf = np.cumsum(np.asarray(w_row, np.float64))
+    total = cdf[-1]
+    n = w_row.shape[0]
+    u = (np.arange(n) + float(u0_row)) * total / n
+    return np.searchsorted(cdf, u, side="left"), cdf, u, total
+
+
+def test_matches_f64_oracle_away_from_boundaries():
+    rng = np.random.default_rng(0)
+    w = rng.gamma(1.0, 1.0, (B, N)).astype(np.float32)
+    x = rng.normal(size=(B, N)).astype(np.float32)
+    u0 = rng.uniform(0.05, 0.95, (B, 1)).astype(np.float32)
+    (picked,) = _run_select(w, [x], u0)
+    checked = 0
+    for r in range(B):
+        idx, cdf, u, total = _oracle_indices(w[r], u0[r, 0])
+        # the kernel's f32 compensated CDF can move a selection boundary
+        # by ~2^-16 * total; only assert where every u_j clears all f64
+        # boundaries by a safely larger margin
+        # (margin 2e-4 * total is ~13x the documented 2^-16 CDF error
+        # while still keeping ~90% of the equally-spaced u_j, whose
+        # inter-point gap is total/n ~ 4e-3 * total)
+        margin = np.min(np.abs(cdf[None, :] - u[:, None]), axis=1)
+        safe = margin > 2e-4 * total
+        assert safe.mean() > 0.7
+        np.testing.assert_array_equal(picked[r, safe], x[r, idx[safe]])
+        checked += int(safe.sum())
+    assert checked > B * N // 2
+
+
+def test_systematic_count_invariant():
+    # systematic resampling guarantees |count_i - n * p_i| < 1 + rounding
+    rng = np.random.default_rng(1)
+    w = rng.gamma(0.5, 1.0, (B, N)).astype(np.float32)
+    ids = np.tile(np.arange(N, dtype=np.float32), (B, 1))  # bf16-exact
+    u0 = np.full((B, 1), 0.37, np.float32)
+    (picked,) = _run_select(w, [ids], u0)
+    for r in range(B):
+        counts = np.bincount(picked[r].astype(int), minlength=N)
+        expect = N * w[r].astype(np.float64) / w[r].astype(np.float64).sum()
+        assert np.abs(counts - expect).max() < 1.0 + 1e-3
+
+
+def test_joint_gather_moves_all_leaves_by_same_ancestors():
+    rng = np.random.default_rng(2)
+    w = rng.gamma(1.0, 1.0, (B, N)).astype(np.float32)
+    ids = np.tile(np.arange(N, dtype=np.float32), (B, 1))
+    vals = rng.normal(size=(B, N)).astype(np.float32)
+    u0 = rng.uniform(0.1, 0.9, (B, 1)).astype(np.float32)
+    picked_ids, picked_vals = _run_select(w, [ids, vals], u0)
+    for r in range(B):
+        anc = picked_ids[r].astype(int)
+        np.testing.assert_array_equal(picked_vals[r], vals[r, anc])
+
+
+def test_degenerate_weight_selects_only_the_heavy_particle():
+    w = np.full((B, N), 1e-8, np.float32)
+    heavy = 100
+    w[:, heavy] = 1e6
+    x = np.tile(np.arange(N, dtype=np.float32), (B, 1))
+    (picked,) = _run_select(w, [x], np.full((B, 1), 0.5, np.float32))
+    assert (picked == heavy).all()
+
+
+def test_extreme_u0_never_zeroes_an_output():
+    # the docstring's clamp case: f32 rounding can push u_{n-1} past the
+    # CDF total, which without the clamp selects NO ancestor (output 0)
+    rng = np.random.default_rng(3)
+    w = rng.gamma(1.0, 1.0, (B, N)).astype(np.float32)
+    x = rng.uniform(1.0, 2.0, (B, N)).astype(np.float32)  # never 0.0
+    for u0v in (1e-7, 0.5, 1.0 - 1e-7):
+        (picked,) = _run_select(w, [x], np.full((B, 1), u0v, np.float32))
+        assert (picked >= 1.0).all() and (picked <= 2.0).all()
+        # every picked value is an actual particle of the same row
+        for r in range(B):
+            assert np.isin(picked[r], x[r]).all()
+
+
+def test_compensated_cdf_error_bound():
+    rng = np.random.default_rng(4)
+    w = rng.gamma(0.3, 1.0, (B, N)).astype(np.float32)
+    lt = np.tril(np.ones((N, N), np.float32)).T
+
+    def kernel(w_ref, lt_ref, out_ref):
+        out_ref[:] = compensated_cdf(w_ref[:], lt_ref[:])
+
+    cdf = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        interpret=True,
+    )(jnp.asarray(w), jnp.asarray(lt))
+    cdf64 = np.cumsum(w.astype(np.float64), axis=1)
+    total = cdf64[:, -1:]
+    # documented bound: |err| <= ~2^-16 |total| (w_lo's bf16 pass); in
+    # interpret mode the dots run f32 so this is loose, but the bound is
+    # what the kernels rely on ON HARDWARE — assert it with 4x slack
+    assert (np.abs(np.asarray(cdf) - cdf64) <= 4 * 2.0**-16 * total).all()
