@@ -85,7 +85,13 @@ def test_systematic_count_invariant():
     for r in range(B):
         counts = np.bincount(picked[r].astype(int), minlength=N)
         expect = N * w[r].astype(np.float64) / w[r].astype(np.float64).sum()
-        assert np.abs(counts - expect).max() < 1.0 + 1e-3
+        # slack derived from the kernel's documented guarantee, not from
+        # interpret-mode precision: the compensated CDF carries ~2^-16 *
+        # total of error (see compensated_cdf), which can shift each of a
+        # particle's two selection boundaries by ~2^-16 of the full range
+        # = N * 2^-16 equally-spaced u_j spacings, so the count bound the
+        # kernel actually makes is |count - n*p| < 1 + 2 * N * 2^-16
+        assert np.abs(counts - expect).max() < 1.0 + 2 * N * 2.0**-16
 
 
 def test_joint_gather_moves_all_leaves_by_same_ancestors():
