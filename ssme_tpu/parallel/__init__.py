@@ -13,6 +13,12 @@ from ssme_tpu.parallel.mesh import (
     particle_sharding,
     shard_chain_state,
     jit_sharded_pmmh,
+    shard_swarm_state,
+    jit_sharded_swarm,
+)
+from ssme_tpu.parallel.sharded_lw import (
+    ShardedLiuWest,
+    make_sharded_lw_runner,
 )
 
 __all__ = [
@@ -20,4 +26,6 @@ __all__ = [
     "shard_chain_state", "jit_sharded_pmmh",
     "shard_batched_log_like", "sharded_megakernel_log_like",
     "initialize_distributed", "make_global_mesh", "fetch_across_hosts",
+    "ShardedLiuWest", "make_sharded_lw_runner",
+    "shard_swarm_state", "jit_sharded_swarm",
 ]

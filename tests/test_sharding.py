@@ -72,22 +72,29 @@ def test_sharded_pmmh_matches_unsharded(eight_devices):
 
 
 def test_sharded_swarm_models(eight_devices):
-    # swarm filter bank sharded over its model axis — the split-data
+    # swarm filter bank sharded over its model axis via the PUBLIC API
+    # (parallel.shard_swarm_state / jit_sharded_swarm) — the split-data
     # thread pool replacement (thread_pool.h:295-590)
     model = svol_leverage.make_model()
     sw = SwarmFilter(model, num_state_particles=8, num_param_particles=16)
     ys = 0.05 * jax.random.normal(jax.random.key(4), (6, 1))
     zs = jnp.concatenate([jnp.zeros((1, 1)), ys[:-1]])
 
-    mesh = parallel.make_mesh(8, 1)
     state = sw.init(jax.random.key(5))
-    shard = NamedSharding(mesh, P("chain"))
-    state = state._replace(
-        params=jax.device_put(state.params, shard),
-        particles=jax.device_put(state.particles, shard),
-        log_weights=jax.device_put(state.log_weights, shard),
-    )
-    run = jax.jit(lambda st: jax.lax.scan(
-        lambda s, inp: sw.update(s, inp[0], inp[1]), st, (ys, zs)))
-    final, results = run(state)
+    # unsharded truth first (same state, plain eval)
+    _, plain = jax.lax.scan(
+        lambda s, inp: sw.update(s, inp[0], inp[1]), state, (ys, zs))
+
+    mesh = parallel.make_mesh(8, 1)
+    sharded_state = parallel.shard_swarm_state(state, mesh)
+    assert len(sharded_state.params.sharding.device_set) == 8
+    run = parallel.jit_sharded_swarm(sw, mesh)
+    final, results = run(sharded_state, ys, zs)
     assert np.all(np.isfinite(np.asarray(results.log_cond_like)))
+    # GSPMD partitioning must not change the aggregates
+    np.testing.assert_allclose(np.asarray(results.log_cond_like),
+                               np.asarray(plain.log_cond_like),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(results.mean_log_cond_like),
+                               np.asarray(plain.mean_log_cond_like),
+                               rtol=2e-4, atol=1e-5)
