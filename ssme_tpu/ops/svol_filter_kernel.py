@@ -44,7 +44,8 @@ from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 tile_seeds as _tile_seeds,
                                 uniform_bits as _uniform_bits,
                                 uniform_offset as _uniform_offset)
-from ssme_tpu.ops._select import select_leaves_dense
+from ssme_tpu.ops._select import (metropolis_select_leaves,
+                                  select_leaves_dense)
 from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
@@ -52,14 +53,20 @@ TILE_B = 8
 
 def _make_kernel(num_particles: int, ess_frac: float,
                  steps_per_cell: int = 1, num_tiles: int = 1,
-                 num_steps: int = 0, substep_regions: bool = False):
+                 num_steps: int = 0, substep_regions: bool = False,
+                 resampler: str = "systematic", metropolis_iters: int = 16):
     n = num_particles
     k_steps = steps_per_cell
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
+    use_lt = resampler == "systematic"
 
-    def kernel(seed_ref, ys_ref, params_ref, lt_ref, out_ref, xmean_ref,
-               x_scr, lw_scr, carry_scr):
+    def kernel(seed_ref, ys_ref, params_ref, *refs):
+        if use_lt:
+            (lt_ref, out_ref, xmean_ref, x_scr, lw_scr, carry_scr) = refs
+        else:
+            (out_ref, xmean_ref, x_scr, lw_scr, carry_scr) = refs
+            lt_ref = None
         b = pl.program_id(0)
         tc = pl.program_id(1)
         # two threefry-derived seed words per tile (_prng.tile_seeds);
@@ -83,12 +90,20 @@ def _make_kernel(num_particles: int, ess_frac: float,
             w = jnp.exp(lw_scr[:])                           # (8, n)
 
             def resample():
-                # dense one-hot systematic selection on the MXU
-                # (_select.select_leaves_dense — measured 4x faster per
-                # resample than the round-2 blocked form it replaced)
-                u0 = _uniform_offset((TILE_B, 1))             # (8, 1)
-                (picked,) = select_leaves_dense(w, [x_scr[:]], u0,
-                                                lt_ref[:])
+                if use_lt:
+                    # dense one-hot systematic selection on the MXU
+                    # (_select.select_leaves_dense — measured 4x faster
+                    # per resample than the round-2 blocked form)
+                    u0 = _uniform_offset((TILE_B, 1))         # (8, 1)
+                    (picked,) = select_leaves_dense(w, [x_scr[:]], u0,
+                                                    lt_ref[:])
+                else:
+                    # O(n log n) gather-free Metropolis chains (see
+                    # _select.metropolis_select_leaves) — no CDF, no
+                    # (n, n) matrices, so no MXU and no n^2 VMEM
+                    (picked,) = metropolis_select_leaves(
+                        w, [x_scr[:]], pltpu.prng_random_bits,
+                        num_iters=metropolis_iters)
                 x_scr[:] = picked
                 # weights reset to uniform: log W = 0, LSE = log n
                 lw_scr[:] = jnp.zeros_like(lw_scr)
@@ -187,10 +202,13 @@ def _make_kernel(num_particles: int, ess_frac: float,
 @functools.partial(jax.jit, static_argnames=("num_particles", "interpret",
                                              "ess_threshold",
                                              "steps_per_cell",
-                                             "substep_regions"))
+                                             "substep_regions",
+                                             "resampler",
+                                             "metropolis_iters"))
 def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
                        ess_threshold=1.0, steps_per_cell=8,
-                       substep_regions=None):
+                       substep_regions=None, resampler="systematic",
+                       metropolis_iters=16):
     """Full-sequence SVOL bootstrap filtering for B filters at once.
 
     seed: int32 scalar or a ``jax.random`` key (the PMMH hooks pass
@@ -211,7 +229,16 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     region (compile fallback for scoped-VMEM pressure; slower —
     see the kernel-body comment).  Default None = auto: straight-line
     at n <= 512, regions above (n=1024 parity needs them).
+
+    resampler: "systematic" (dense MXU one-hot selection, the default)
+    or "metropolis" (O(n log n) roll-based Metropolis chains — no
+    (n, n) matrices, so it lifts the dense form's VMEM particle cap;
+    slightly biased ancestor law at finite ``metropolis_iters``, see
+    ``_select.metropolis_select_leaves`` and docs/kernels.md for the
+    measured evidence bias).
     """
+    if resampler not in ("systematic", "metropolis"):
+        raise ValueError(f"unknown resampler {resampler!r}")
     ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
     t_len = ys.shape[0]
     b = params.shape[0]
@@ -234,20 +261,25 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
     if substep_regions is None:
         substep_regions = n > 512
-    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
+    use_lt = resampler == "systematic"
+    in_specs = [
+        pl.BlockSpec((TILE_B, 3), lambda i, t, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [params.astype(jnp.float32)]
+    if use_lt:
+        in_specs.append(pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(np.tril(np.ones((n, n), np.float32)).T))
 
     lcls = pl.pallas_call(
         _make_kernel(n, float(ess_threshold), k_steps, b // TILE_B,
-                     t_len, bool(substep_regions)),
+                     t_len, bool(substep_regions), resampler,
+                     int(metropolis_iters)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
             grid=(b // TILE_B, t_cells),
-            in_specs=[
-                pl.BlockSpec((TILE_B, 3), lambda i, t, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((TILE_B, 128),
                              lambda i, t, *_: (i, (t * k_steps) // 128),
@@ -267,7 +299,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
             jax.ShapeDtypeStruct((b, t_pad), jnp.float32),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, ys, params.astype(jnp.float32), lt)
+    )(seed_arr, ys, *inputs)
     lcls, xmeans = lcls
     lcls = lcls[:, :t_len]
     return jnp.sum(lcls, axis=-1), lcls, xmeans[:, :t_len]

@@ -12,10 +12,13 @@ via a minimal interpret-mode ``pallas_call`` harness on CPU.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from jax.experimental import pallas as pl
 
-from ssme_tpu.ops._select import compensated_cdf, select_leaves_dense
+from ssme_tpu.ops._select import (compensated_cdf,
+                                  metropolis_select_leaves,
+                                  select_leaves_dense)
 
 B = 8
 N = 256
@@ -127,6 +130,95 @@ def test_extreme_u0_never_zeroes_an_output():
         # every picked value is an actual particle of the same row
         for r in range(B):
             assert np.isin(picked[r], x[r]).all()
+
+
+def _run_metropolis(w, leaves, bits, num_iters):
+    """Interpret-mode harness for the O(n) Metropolis selector with a
+    DETERMINISTIC bit stream standing in for the hardware PRNG."""
+    n = w.shape[1]
+    n_l = len(leaves)
+
+    def kernel(w_ref, bits_ref, *refs):
+        leaf_refs, out_refs = refs[:n_l], refs[n_l:]
+        counter = [0]
+
+        def draw_bits(shape):
+            k = int(np.prod(shape))
+            flat = bits_ref[0, counter[0]:counter[0] + k]
+            counter[0] += k
+            return flat.reshape(shape)
+
+        picked = metropolis_select_leaves(
+            w_ref[:], [r[:] for r in leaf_refs], draw_bits,
+            num_iters=num_iters)
+        for o, p in zip(out_refs, picked):
+            o[:] = p
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((w.shape[0], n), jnp.float32)
+                   for _ in range(n_l)],
+        interpret=True,
+    )(jnp.asarray(w, jnp.float32), jnp.asarray(bits),
+      *[jnp.asarray(l, jnp.float32) for l in leaves])
+    return [np.asarray(o) for o in outs]
+
+
+def _bits_for(rng, num_iters, b, n):
+    total = num_iters * (1 + b * n)
+    return rng.integers(-2**31, 2**31, size=(1, total), dtype=np.int64
+                        ).astype(np.int32)
+
+
+def test_metropolis_frequency_matches_weights():
+    """Each output slot's Metropolis chain targets the weight law; with
+    mild weights the chains mix in a handful of sweeps, so empirical
+    ancestor frequencies over many independent runs must match the
+    normalized weights."""
+    rng = np.random.default_rng(10)
+    n, iters, trials = 256, 32, 24
+    w_row = np.linspace(1.0, 2.0, n).astype(np.float32)  # mild variation
+    w = np.tile(w_row, (B, 1))
+    ids = np.tile(np.arange(n, dtype=np.float32), (B, 1))
+    counts = np.zeros(n)
+    for _ in range(trials):
+        (picked,) = _run_metropolis(w, [ids],
+                                    _bits_for(rng, iters, B, n), iters)
+        counts += np.bincount(picked.astype(int).ravel(), minlength=n)
+    freqs = counts / counts.sum()
+    want = w_row / w_row.sum()
+    # 49k samples => se(freq) ~ sqrt(p/49152) ~ 2.8e-4 at p ~ 1/256;
+    # 4 sigma. A law bug would be off at the p ~ 4e-3 scale itself.
+    np.testing.assert_allclose(freqs, want, atol=1.1e-3)
+
+
+def test_metropolis_moves_leaves_jointly():
+    rng = np.random.default_rng(11)
+    n, iters = 256, 8
+    w = rng.gamma(1.0, 1.0, (B, n)).astype(np.float32)
+    ids = np.tile(np.arange(n, dtype=np.float32), (B, 1))
+    vals = rng.normal(size=(B, n)).astype(np.float32)
+    picked_ids, picked_vals = _run_metropolis(
+        w, [ids, vals], _bits_for(rng, iters, B, n), iters)
+    for r in range(B):
+        anc = picked_ids[r].astype(int)
+        np.testing.assert_array_equal(picked_vals[r], vals[r, anc])
+
+
+def test_metropolis_outputs_are_real_particles():
+    rng = np.random.default_rng(12)
+    n, iters = 256, 4
+    w = rng.gamma(0.3, 1.0, (B, n)).astype(np.float32)
+    x = rng.uniform(1.0, 2.0, (B, n)).astype(np.float32)
+    (picked,) = _run_metropolis(w, [x], _bits_for(rng, iters, B, n), iters)
+    for r in range(B):
+        assert np.isin(picked[r], x[r]).all()
+
+
+def test_metropolis_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        metropolis_select_leaves(jnp.zeros((8, 384)), [jnp.zeros((8, 384))],
+                                 lambda s: jnp.zeros(s, jnp.int32))
 
 
 def test_compensated_cdf_error_bound():
