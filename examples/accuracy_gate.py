@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Workload-scale accuracy gate on the REAL SPY data (VERDICT r3 item 2).
+
+BASELINE.md's accuracy north star: posterior means of (beta, phi,
+sigma^2) on spy_returns.csv within 2 MC-SE of the C++ reference.  The
+reference binary cannot be built here (un-vendored ``pf`` dep), so the
+gate compares three implementations of the SAME algorithm on the SAME
+data:
+
+- **oracle**: float64 numpy, reference-exact semantics
+  (``ssme_tpu.oracle`` — every-step multinomial resampling,
+  ``estimate_univ_svol.h:108-178`` config);
+- **parity**: the Pallas megakernel at the reference-parity schedule
+  (systematic resampling every step, ess_threshold=1.0), f32, hardware
+  PRNG;
+- **adaptive**: the flagship ESS-gated schedule (ess_threshold=0.5) —
+  the headline engine whose unbiasedness the gate certifies end-to-end.
+
+Each runs its own MCMC on the T-prefix (default FULL T=3084); the gate
+asserts every pair of posterior means agrees within
+``2 * combined batch-means MC-SE + slack`` per parameter.
+
+Oracle cost: ~0.1 s/iteration at T=3084, N=500, R=2 on this host
+(pure numpy) — 4000 iterations ~= 7 minutes.  The JAX engines run
+8 chains on the chip in seconds.
+
+Run:  python examples/accuracy_gate.py --out data/accuracy_gate.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_START_Z = (1.0, 2.0 * np.arctanh(0.5), np.log(2e-4))
+# twiceFisher(.5) = log(1.5/.5) = 2*atanh(.5); estimate_univ_svol.h:152-154
+
+
+def run_oracle(ys, iters, n_particles, n_reps, seed):
+    from ssme_tpu.oracle import oracle_pmmh
+
+    t0 = time.perf_counter()
+    samples = oracle_pmmh(seed, np.asarray(ys, np.float64).reshape(-1),
+                          np.asarray(REF_START_Z), iters, n_particles,
+                          n_reps, t0=150, t1=1000,
+                          progress_every=max(iters // 10, 1))
+    return samples[:, None, :], time.perf_counter() - t0  # (iters, 1, 3)
+
+
+def run_engine(ys, iters, n_particles, n_reps, ess, chains, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from ssme_tpu.inference import AdaptivePMMH
+    from ssme_tpu.models import svol
+    from ssme_tpu.ops.svol_filter_kernel import svol_pallas_batched_log_like
+
+    model = svol.make_model()
+    batched = svol_pallas_batched_log_like(n_particles, n_reps,
+                                           ess_threshold=ess)
+    pmmh = AdaptivePMMH(model, num_particles=n_particles,
+                        num_replicates=n_reps, t0=150, t1=1000,
+                        batched_log_like=batched)
+    start = jnp.asarray(REF_START_Z, jnp.float32)
+    state = pmmh.init(jax.random.key(seed), start, ys, num_chains=chains)
+    run = jax.jit(lambda st: pmmh.run_from(st, 500, ys))
+    t0 = time.perf_counter()
+    chunks = []
+    done = 0
+    while done < iters:
+        res = run(state)
+        state = res.final_state
+        chunks.append(np.asarray(res.samples))
+        done += 500
+    return np.concatenate(chunks)[:iters], time.perf_counter() - t0
+
+
+def moments(samples, burn):
+    """(iters, C, 3) -> per-parameter (mean, batch-means MC-SE pooled
+    over chains)."""
+    from ssme_tpu.oracle import batch_means_se
+
+    post = samples[burn:]
+    means, ses = [], []
+    for i in range(post.shape[2]):
+        chain_means = post[:, :, i].mean(axis=0)
+        chain_ses = np.array([batch_means_se(post[:, c, i])
+                              for c in range(post.shape[1])])
+        means.append(float(chain_means.mean()))
+        # se of the pooled mean: chains are independent
+        ses.append(float(np.sqrt(np.sum(chain_ses**2)) / post.shape[1]))
+    return means, ses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t-len", type=int, default=0, help="0 = full T")
+    ap.add_argument("--oracle-iters", type=int, default=4000)
+    ap.add_argument("--engine-iters", type=int, default=6000)
+    ap.add_argument("--particles", type=int, default=512)
+    ap.add_argument("--oracle-particles", type=int, default=500,
+                    help="reference NUMPARTS (main.cpp:9)")
+    ap.add_argument("--replicates", type=int, default=2)
+    ap.add_argument("--chains", type=int, default=8)
+    ap.add_argument("--skip-oracle", action="store_true",
+                    help="reuse oracle samples from --out")
+    ap.add_argument("--out", default="data/accuracy_gate.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ssme_tpu.io import read_data
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "data", "spy_returns.csv")
+    ys = jnp.asarray(read_data(data_path, num_cols=1))
+    if args.t_len:
+        ys = ys[: args.t_len]
+    t_len = int(ys.shape[0])
+    names = ["beta", "phi", "ss"]
+    results = {}
+
+    samples_npz = args.out.replace(".json", "_samples.npz")
+    saved = {}
+    if args.skip_oracle and os.path.exists(samples_npz):
+        saved = dict(np.load(samples_npz))
+
+    # --- oracle ---
+    if "oracle" in saved:
+        o_samples = saved["oracle"]
+        o_secs = float(saved.get("oracle_secs", np.nan))
+    else:
+        print(f"== oracle: T={t_len} N={args.oracle_particles} "
+              f"R={args.replicates} iters={args.oracle_iters} ==",
+              file=sys.stderr, flush=True)
+        o_samples, o_secs = run_oracle(ys, args.oracle_iters,
+                                       args.oracle_particles,
+                                       args.replicates, seed=11)
+        saved["oracle"] = o_samples
+        saved["oracle_secs"] = o_secs
+        np.savez_compressed(samples_npz, **saved)
+    o_mean, o_se = moments(o_samples, args.oracle_iters // 4)
+    results["oracle"] = {"mean": o_mean, "mc_se": o_se,
+                         "iters": int(o_samples.shape[0]), "chains": 1,
+                         "secs": o_secs}
+
+    # --- the two kernel engines ---
+    for label, ess in (("parity", 1.0), ("adaptive", 0.5)):
+        print(f"== engine {label}: ess={ess} N={args.particles} "
+              f"R={args.replicates} C={args.chains} "
+              f"iters={args.engine_iters} ==", file=sys.stderr, flush=True)
+        samples, secs = run_engine(ys, args.engine_iters, args.particles,
+                                   args.replicates, ess, args.chains,
+                                   seed=23 if label == "parity" else 29)
+        saved[label] = samples
+        np.savez_compressed(samples_npz, **saved)
+        mean, se = moments(samples, args.engine_iters // 4)
+        results[label] = {"mean": mean, "mc_se": se,
+                          "iters": int(samples.shape[0]),
+                          "chains": args.chains, "secs": secs}
+
+    # --- the gate ---
+    gate = {"t_len": t_len, "pass": True, "comparisons": []}
+    pairs = [("oracle", "parity"), ("oracle", "adaptive"),
+             ("parity", "adaptive")]
+    for a, b in pairs:
+        for i, name in enumerate(names):
+            ma, mb = results[a]["mean"][i], results[b]["mean"][i]
+            se = float(np.hypot(results[a]["mc_se"][i],
+                                results[b]["mc_se"][i]))
+            ok = abs(ma - mb) < 2.0 * se + 1e-3
+            gate["comparisons"].append(
+                {"pair": f"{a}-vs-{b}", "param": name, "a": ma, "b": mb,
+                 "combined_se": se, "z": (ma - mb) / se if se else None,
+                 "ok": bool(ok)})
+            gate["pass"] = gate["pass"] and bool(ok)
+
+    out = {"results": results, "gate": gate}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(gate))
+    for r in gate["comparisons"]:
+        print(f"  {r['pair']:>20} {r['param']:>5}: {r['a']:.4f} vs "
+              f"{r['b']:.4f} (se {r['combined_se']:.4f}) "
+              f"{'OK' if r['ok'] else 'FAIL'}", file=sys.stderr)
+    sys.exit(0 if gate["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,10 @@
-"""Float64 PMMH oracle: the reference's exact algorithm, reimplemented
-in numpy/float64, compared to ``AdaptivePMMH`` posterior moments.
+"""Float64 PMMH oracle vs ``AdaptivePMMH`` posterior moments.
 
-The C++ reference cannot be built here (its ``pf`` dependency is not
-vendored) and is unseeded, so the closest feasible stand-in for
-"posterior means within 2 MC-SE of the C++ reference" (BASELINE.md) is
-a from-scratch float64 implementation of the same algorithm — adaptive
-MVN random-walk on the transformed space (``ada_pmmh_mvn.h:326-372``),
-Haario moment recursion (``:213-250``), log-Jacobian in the MH ratio
-(``:343,364``), bootstrap PF likelihood with EVERY-STEP multinomial
-resampling (``estimate_univ_svol.h:119-127`` + pf's ``mn_resampler``),
-replicate log-mean-exp (``thread_pool.h:259-273``) — run on simulated
-SVOL data and compared to the f32 JAX implementation within combined
-Monte-Carlo error (VERDICT r1 #9).
+The oracle itself (the reference's exact algorithm in numpy/float64 —
+``ada_pmmh_mvn.h:326-372`` + ``estimate_univ_svol.h:108-131`` semantics)
+lives in :mod:`ssme_tpu.oracle`; the workload-scale SPY gate is
+``examples/accuracy_gate.py``.  This test runs the comparison at test
+scale on simulated SVOL data (VERDICT r1 #9).
 """
 
 import jax
@@ -21,126 +14,7 @@ import pytest
 
 from ssme_tpu.inference import AdaptivePMMH
 from ssme_tpu.models import svol
-
-# ---------------------------------------------------------------------------
-# numpy/float64 oracle
-# ---------------------------------------------------------------------------
-
-_SD = 2.4 * 2.4 / 3.0   # ada_pmmh_mvn.h:185
-_EPS = 0.01             # ada_pmmh_mvn.h:186
-
-
-def _constrain(z):
-    # transforms {null, twice_fisher, log} (estimate_univ_svol.h:155)
-    return np.array([z[0], np.tanh(0.5 * z[1]), np.exp(z[2])])
-
-
-def _log_jacobian(z):
-    # parameters.h:334-338 (null), :376-380 (twice_fisher), :447-448 (log)
-    return (np.log(2.0) + z[1] - 2.0 * np.log1p(np.exp(z[1]))) + z[2]
-
-
-def _log_prior(theta_c):
-    # estimate_univ_svol.h:94-101
-    beta, phi, ss = theta_c
-    lp_beta = -0.5 * np.log(2 * np.pi) - 0.5 * (beta - 1.0) ** 2
-    lp_phi = 0.0 if 0.0 < phi < 1.0 else -np.inf
-    a = b = 1e-3
-    if ss <= 0:
-        lp_ss = -np.inf
-    else:
-        from scipy.special import gammaln
-        lp_ss = a * np.log(b) - gammaln(a) - (a + 1.0) * np.log(ss) - b / ss
-    return lp_beta + lp_phi + lp_ss
-
-
-def _pf_loglike(rng, theta_c, ys, n_particles):
-    """Bootstrap PF, every-step multinomial resampling, float64.
-
-    Mirrors estimate_univ_svol.h:108-131 driving pf's BSFilter with
-    mn_resampler; log cond-like per step = log mean weight.
-    """
-    beta, phi, ss = theta_c
-    with np.errstate(all="ignore"):
-        sigma = np.sqrt(ss)
-        sd0 = sigma / np.sqrt(1.0 - phi * phi)
-        x = rng.normal(0.0, 1.0, n_particles) * sd0
-        total = 0.0
-        for t in range(len(ys)):
-            if t > 0:
-                x = phi * x + sigma * rng.normal(0.0, 1.0, n_particles)
-            sd = beta * np.exp(0.5 * x)
-            lw = (-0.5 * np.log(2 * np.pi) - np.log(sd)
-                  - 0.5 * (ys[t] / sd) ** 2)
-            m = np.max(lw)
-            w = np.exp(lw - m)
-            total += m + np.log(np.mean(w))
-            if not np.isfinite(total):
-                return total   # nan/-inf: dead proposal, reject upstream
-            p = w / np.sum(w)
-            x = x[rng.choice(n_particles, n_particles, p=p)]
-    return total
-
-
-def oracle_pmmh(seed, ys, start_z, n_iters, n_particles, n_replicates,
-                t0, t1, c0_scale=0.15):
-    """The reference's commence_sampling loop (ada_pmmh_mvn.h:326-372),
-    float64 numpy."""
-    rng = np.random.default_rng(seed)
-    d = 3
-    z = np.asarray(start_z, np.float64).copy()
-    mean = np.zeros(d)
-    sig = np.zeros((d, d))
-    ct = c0_scale * np.eye(d)
-    old_lp = _log_prior(_constrain(z)) + _log_jacobian(z)
-    old_ll = _loglike_reps(rng, z, ys, n_particles, n_replicates)
-    out = np.empty((n_iters, d))
-    for i in range(1, n_iters + 1):
-        # update_moments_and_Ct with the CURRENT position (:338,:213-250)
-        if i >= 2:
-            sig = (sig * (max(i - 2, 0) / (i - 1))
-                   + np.outer(z - mean, z - mean) / i)
-        mean = ((i - 1) * mean + z) / i
-        if t0 < i < t1:
-            ct = _SD * (sig + _EPS * np.eye(d))
-        # MVN proposal on the transformed space (:341,:260-269)
-        chol = np.linalg.cholesky(ct)
-        z_new = z + chol @ rng.normal(0.0, 1.0, d)
-        new_lp = _log_prior(_constrain(z_new)) + _log_jacobian(z_new)
-        if np.isfinite(new_lp):
-            new_ll = _loglike_reps(rng, z_new, ys, n_particles,
-                                   n_replicates)
-        else:
-            new_ll = -np.inf
-        log_accept = new_lp + new_ll - old_lp - old_ll
-        log_u = np.log(rng.uniform())
-        if log_u < log_accept:   # NaN -> False, reference :349
-            z, old_lp, old_ll = z_new, new_lp, new_ll
-        out[i - 1] = _constrain(z)
-    return out
-
-
-def _loglike_reps(rng, z, ys, n_particles, n_replicates):
-    theta_c = _constrain(z)
-    vals = np.array([_pf_loglike(rng, theta_c, ys, n_particles)
-                     for _ in range(n_replicates)])
-    m = np.max(vals)
-    if not np.isfinite(m):
-        return m
-    return m + np.log(np.mean(np.exp(vals - m)))
-
-
-def _batch_means_se(x, n_batches=20):
-    """MC standard error of the mean via batch means (handles the heavy
-    autocorrelation of an MCMC chain)."""
-    n = (len(x) // n_batches) * n_batches
-    bm = x[:n].reshape(n_batches, -1).mean(axis=1)
-    return bm.std(ddof=1) / np.sqrt(n_batches)
-
-
-# ---------------------------------------------------------------------------
-# the comparison test
-# ---------------------------------------------------------------------------
+from ssme_tpu.oracle import batch_means_se, oracle_pmmh
 
 TRUE = np.array([1.0, 0.9, 0.04])
 T_LEN = 120
@@ -191,8 +65,8 @@ def test_pmmh_matches_float64_oracle():
 
     for i, name in enumerate(["beta", "phi", "ss"]):
         mo, mj = o_samp[:, i].mean(), j_samp[:, i].mean()
-        se = np.hypot(_batch_means_se(o_samp[:, i]),
-                      _batch_means_se(j_samp[:, i]))
+        se = np.hypot(batch_means_se(o_samp[:, i]),
+                      batch_means_se(j_samp[:, i]))
         assert abs(mo - mj) < 3.0 * se + 0.05, (
             name, mo, mj, se)
         # posterior spreads agree within a factor ~2 (loose: different
