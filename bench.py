@@ -170,12 +170,61 @@ def _run_worker(impl, ess):
     return None
 
 
+def _roofline(props_per_sec, num_particles, schedule):
+    """Analytic per-propagation op counts vs the chip's MEASURED
+    per-resource speed of light (examples/probe_roofline.py ->
+    data/roofline.jsonl).  Returns {resource: utilization} + the binding
+    resource, or None when no roofline measurements exist.
+
+    Counts per particle-step (see docs/kernels.md "Roofline"):
+    - transcendentals: ~4 (paired Box-Muller log/sqrt/cos/sin = 2,
+      weight exp, LSE exp);
+    - VPU f32 elementwise: ~26 fused ops;
+    - MXU (parity schedule only; the ESS gate makes it rare at
+      adaptive): dense-selector matmuls ~20 n flops per particle
+      (compensated CDF 4 n + one-hot selection 16 n).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "roofline.jsonl")
+    if not os.path.exists(path):
+        return None
+    peaks = {}
+    with open(path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if r.get("platform") == "tpu":
+                peaks[r["resource"]] = r
+    if not {"vpu_fma_f32", "vpu_exp_f32", "mxu_f32_default"} <= set(peaks):
+        return None
+    util = {
+        "transcendental": (4.0 * props_per_sec
+                           / peaks["vpu_exp_f32"]["elems_per_s"]),
+        "vpu": (26.0 * props_per_sec
+                / peaks["vpu_fma_f32"]["elems_per_s"]),
+    }
+    if schedule == "parity":
+        util["mxu"] = (20.0 * num_particles * props_per_sec
+                       / peaks["mxu_f32_default"]["flops_per_s"])
+    binding = max(util, key=util.get)
+    return {"utilization": {k: round(v, 4) for k, v in util.items()},
+            "binding_resource": binding,
+            "binding_utilization": round(util[binding], 4)}
+
+
 def _flagship():
     # workload scale (env-overridable for quick runs).  BENCH_ITERS=30:
     # a >= 30-iteration timing window per VERDICT r1 (stable best-of-2).
+    # Defaults R=2, C=64 (same 128 kernel rows/iteration as the old
+    # R=16 x C=8): the measured Doucet-Pitt optimum — Var[log L-hat] =
+    # 1.6 at (N=512, R=2) vs 0.43 at R=16, so the replicate budget goes
+    # to chains instead; ESS/s measured 2.8-3.5x higher
+    # (examples/tune_pmmh.py, data/tune_pmmh.jsonl, RESULTS.md).
     num_particles = int(os.environ.get("BENCH_PARTICLES", 512))
-    num_replicates = int(os.environ.get("BENCH_REPLICATES", 16))
-    num_chains = int(os.environ.get("BENCH_CHAINS", 8))
+    num_replicates = int(os.environ.get("BENCH_REPLICATES", 2))
+    num_chains = int(os.environ.get("BENCH_CHAINS", 64))
     num_iters = int(os.environ.get("BENCH_ITERS", 30))
     impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
     baseline = 1e8  # north-star props/s/chip (BASELINE.json)
@@ -229,6 +278,10 @@ def _flagship():
         "parity": parity,
         "adaptive": adaptive,
         "impl": {"parity": impl_parity, "adaptive": impl_adaptive},
+        "mfu_estimate": {
+            "parity": _roofline(parity, num_particles, "parity"),
+            "adaptive": _roofline(adaptive, num_particles, "adaptive"),
+        },
     }))
 
     # supporting detail on stderr (not part of the contract)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""PMMH parameter estimation for SVOL-with-LEVERAGE on SPY returns —
+the covariate-model x PMMH combination end-to-end through the
+megakernel's covariate streaming (VERDICT r3 next-step 7; reference
+use-case match: ``pswarm_filter.h:309-605``'s covariate models driven
+by posterior samples, here PRODUCING those samples).
+
+Model (``models/svol_leverage.py``, reference ``test/test_pswarm.cpp:
+28-141``): x' = mu + phi (x - mu) + z rho sigma e^{-x/2} + sigma
+sqrt(1-rho^2) eps, y ~ N(0, e^x), covariate z = LAGGED observation.
+Parameters (phi, mu, sigma, rho) with uniform priors on their supports;
+transforms keep the MH walk unconstrained.
+
+Engines: --engine pallas streams (ys, zs) through SMEM into the
+bootstrap megakernel factory instance (``ops/filter_megakernel.
+svol_leverage_kernel_model``), evaluating all chains x replicates per
+MH iteration in one launch; --engine generic is the XLA path (any
+platform).
+
+Run (TPU):
+    python examples/estimate_svol_leverage.py --engine pallas \
+        --iters 3000 --chains 16
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--datafile", default=None)
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--chains", type=int, default=16)
+    p.add_argument("--particles", type=int, default=512)
+    p.add_argument("--replicates", type=int, default=2)
+    p.add_argument("--t-len", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--engine", choices=["generic", "pallas"],
+                   default="generic")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from ssme_tpu.diagnostics import summarize
+    from ssme_tpu.inference import AdaptivePMMH
+    from ssme_tpu.io import read_data
+    from ssme_tpu.models import svol_leverage
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    data = args.datafile or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "data",
+        "spy_returns.csv")
+    ys = jnp.asarray(read_data(data, num_cols=1))
+    if args.t_len:
+        ys = ys[: args.t_len]
+    # covariate = lagged observation (the enforced convention,
+    # liu_west_filter.h:1255)
+    zs = jnp.concatenate([jnp.zeros((1, 1)), ys[:-1]])
+
+    # the model's DEFAULT_PRIOR_BOUNDS are the reference test fixture's
+    # tiny box (sigma in (0.01, 0.1)); estimation on real returns needs
+    # honest support (SPY daily log-returns x100: vol-of-vol ~0.2-0.5,
+    # leverage rho < 0)
+    model = svol_leverage.make_model(prior_bounds=(
+        (0.5, 0.999),    # phi: persistent vol
+        (-2.0, 2.0),     # mu: mean log-variance
+        (0.05, 1.0),     # sigma: vol-of-vol
+        (-0.95, 0.0),    # rho: leverage
+    ))
+    batched = None
+    if args.engine == "pallas":
+        if jax.devices()[0].platform != "tpu":
+            p.error("--engine pallas needs a real TPU")
+        from ssme_tpu.ops.filter_megakernel import (
+            megakernel_log_like, svol_leverage_kernel_model)
+        batched = megakernel_log_like(
+            svol_leverage_kernel_model(), args.particles, args.replicates,
+            ess_threshold=0.5)
+
+    pmmh = AdaptivePMMH(model, num_particles=args.particles,
+                        num_replicates=args.replicates, t0=150, t1=10**9,
+                        batched_log_like=batched)
+    # start mid-support: (phi, mu, sigma, rho)
+    start_c = jnp.asarray([0.9, 0.0, 0.3, -0.3], jnp.float32)
+    start = model.transform.unconstrain(start_c)
+
+    state = pmmh.init(jax.random.key(args.seed), start, ys, zs=zs,
+                      num_chains=args.chains)
+    run = jax.jit(lambda st: pmmh.run_from(st, 500, ys, zs=zs))
+    chunks = []
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.iters:
+        res = run(state)
+        state = res.final_state
+        chunks.append(np.asarray(res.samples))
+        done += 500
+        print(f"iter {done}/{args.iters} accept="
+              f"{float(state.accept_ma.mean()):.3f}",
+              file=sys.stderr, flush=True)
+    secs = time.perf_counter() - t0
+    samples = np.concatenate(chunks)[: args.iters]
+
+    names = ["phi", "mu", "sigma", "rho"]
+    stats = summarize(samples[args.iters // 4:], names=names)
+    out = {
+        "engine": args.engine, "iters": args.iters,
+        "chains": args.chains, "N": args.particles,
+        "R": args.replicates, "T": int(ys.shape[0]), "secs": secs,
+        "accept": float(state.accept_ma.mean()),
+        "posterior": stats,
+    }
+    print(json.dumps(out, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
