@@ -47,15 +47,23 @@ def _time(fn, *args):
     return best
 
 
-def vpu_rate(rows=8, lanes=512, inner=2048, grid=256):
-    """Sustained f32 FMA elements/s on the VPU."""
+def vpu_rate(rows=8, lanes=512, inner=512, grid=256, streams=8):
+    """Sustained f32 FMA elements/s on the VPU.
+
+    ``streams`` INDEPENDENT accumulators interleave so the measurement
+    exposes pipelined throughput, not one dependency chain's latency
+    (a single chain measured 44 cycles/step — latency-bound)."""
     def kernel(x_ref, o_ref):
-        x = x_ref[:]
+        xs = [x_ref[:] * jnp.float32(1.0 + 0.1 * i)
+              for i in range(streams)]
         a = jnp.float32(1.0000001)
         b = jnp.float32(1e-7)
         for _ in range(inner):
-            x = a * x + b
-        o_ref[:] = x
+            xs = [a * x + b for x in xs]
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[:] = acc
 
     x = jnp.ones((rows, lanes), jnp.float32)
     f = jax.jit(lambda x: pl.pallas_call(
@@ -68,18 +76,22 @@ def vpu_rate(rows=8, lanes=512, inner=2048, grid=256):
         out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
     )(x))
     secs = _time(f, x)
-    fmas = rows * lanes * inner * grid
+    fmas = rows * lanes * inner * grid * streams
     return {"resource": "vpu_fma_f32", "elems_per_s": fmas / secs,
             "flops_per_s": 2 * fmas / secs, "secs": secs}
 
 
-def transc_rate(rows=8, lanes=512, inner=512, grid=256):
-    """Sustained exp() elements/s."""
+def transc_rate(rows=8, lanes=512, inner=128, grid=256, streams=8):
+    """Sustained exp() elements/s (independent streams, as vpu_rate)."""
     def kernel(x_ref, o_ref):
-        x = x_ref[:]
+        xs = [x_ref[:] * jnp.float32(1.0 + 0.1 * i)
+              for i in range(streams)]
         for _ in range(inner):
-            x = jnp.exp(-x) + jnp.float32(0.5)  # stays in [0.5, 1.5]
-        o_ref[:] = x
+            xs = [jnp.exp(-x) + jnp.float32(0.5) for x in xs]
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[:] = acc
 
     x = jnp.ones((rows, lanes), jnp.float32)
     f = jax.jit(lambda x: pl.pallas_call(
@@ -92,23 +104,30 @@ def transc_rate(rows=8, lanes=512, inner=512, grid=256):
         out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
     )(x))
     secs = _time(f, x)
-    n_exp = rows * lanes * inner * grid
+    n_exp = rows * lanes * inner * grid * streams
     return {"resource": "vpu_exp_f32", "elems_per_s": n_exp / secs,
             "secs": secs}
 
 
-def mxu_rate(n=512, inner=64, grid=64):
-    """Sustained f32 DEFAULT-precision (n, n) matmul flops/s."""
+def mxu_rate(n=512, inner=64, grid=64, streams=4):
+    """Sustained f32 DEFAULT-precision (n, n) matmul flops/s
+    (independent accumulators keep the systolic array fed)."""
     def kernel(a_ref, b_ref, o_ref):
-        acc = jnp.zeros_like(a_ref[:])
         a = a_ref[:]
         b = b_ref[:]
+        accs = [a * jnp.float32(1.0 + i) for i in range(streams)]
         for _ in range(inner):
-            acc = acc + jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            a = acc * jnp.float32(1e-6)  # keep the chain dependent
-        o_ref[:] = acc
+            # the matmul input depends (weakly) on each stream's own
+            # accumulator so nothing hoists, while the streams stay
+            # independent of EACH OTHER and pipeline through the MXU
+            accs = [acc + jax.lax.dot_general(
+                a + acc * jnp.float32(1e-7), b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * jnp.float32(1e-3)
+                for acc in accs]
+        out = accs[0]
+        for acc in accs[1:]:
+            out = out + acc
+        o_ref[:] = out
 
     a = jnp.full((n, n), 0.001, jnp.float32)
     f = jax.jit(lambda a, b: pl.pallas_call(
@@ -121,7 +140,7 @@ def mxu_rate(n=512, inner=64, grid=64):
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
     )(a, b))
     secs = _time(f, a, a)
-    flops = 2 * n * n * n * inner * grid
+    flops = 2 * n * n * n * inner * grid * streams
     return {"resource": "mxu_f32_default", "flops_per_s": flops / secs,
             "secs": secs, "n": n}
 

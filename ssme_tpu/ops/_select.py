@@ -163,8 +163,15 @@ def metropolis_select_leaves(w, leaves, draw_bits, num_iters=16):
     Bias: Metropolis resampling is exact only as num_iters -> inf; the
     ancestor law converges geometrically (uniform proposal  =>  total
     variation decays at least like (1 - 1/kappa)^B with kappa =
-    n * max w / sum w).  Measured bias on the SPY evidence estimator
-    and the adopt/reject decision live in docs/kernels.md.
+    n * max w / sum w).  MEASURED (round 4, v5e, SPY at theta*, 1024
+    rows — examples/probe_metropolis.py): evidence bias -5.8 / -3.6 /
+    -2.1 nats at the parity schedule with B = 8 / 16 / 32, and -1.6 /
+    -0.9 / -0.4 at the ESS-adaptive schedule; only adaptive/B=8 beat
+    the dense selector's wall clock (314 vs 392 us/row).  REJECTED as
+    the default resampler on those numbers; RETAINED as the only
+    in-kernel path above the dense selector's 1024-particle cap —
+    N=2048/4096 compile and run (sd 0.59 nats at N=4096 vs 1.60 at
+    N=512).  Full table: docs/kernels.md.
 
     w: (TILE_B, n) nonnegative weights, n a power of two (the shift is
     masked to [0, n)); leaves: list of (TILE_B, n) moved jointly;
