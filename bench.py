@@ -177,12 +177,18 @@ def _roofline(props_per_sec, num_particles, schedule):
     resource, or None when no roofline measurements exist.
 
     Counts per particle-step (see docs/kernels.md "Roofline"):
-    - transcendentals: ~4 (paired Box-Muller log/sqrt/cos/sin = 2,
+    - transcendentals: 4 (paired Box-Muller log/sqrt/cos/sin = 2,
       weight exp, LSE exp);
-    - VPU f32 elementwise: ~26 fused ops;
+    - VPU f32: ~12 FMA-equivalents after fusion (propagate 1,
+      weight ~5, LSE + carried-weight bookkeeping ~6);
     - MXU (parity schedule only; the ESS gate makes it rare at
       adaptive): dense-selector matmuls ~20 n flops per particle
       (compensated CDF 4 n + one-hot selection 16 n).
+
+    Measured round 4: the adaptive schedule lands at 1.00 of the
+    measured exp() rate — transcendental-BOUND at the speed of light;
+    the parity schedule peaks at ~0.26 MXU (the resample block is
+    spread across compare/select/relayout passes, no single ceiling).
     """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "data", "roofline.jsonl")
@@ -202,7 +208,7 @@ def _roofline(props_per_sec, num_particles, schedule):
     util = {
         "transcendental": (4.0 * props_per_sec
                            / peaks["vpu_exp_f32"]["elems_per_s"]),
-        "vpu": (26.0 * props_per_sec
+        "vpu": (12.0 * props_per_sec
                 / peaks["vpu_fma_f32"]["elems_per_s"]),
     }
     if schedule == "parity":
@@ -217,13 +223,18 @@ def _roofline(props_per_sec, num_particles, schedule):
 def _flagship():
     # workload scale (env-overridable for quick runs).  BENCH_ITERS=30:
     # a >= 30-iteration timing window per VERDICT r1 (stable best-of-2).
-    # Defaults R=2, C=64 (same 128 kernel rows/iteration as the old
-    # R=16 x C=8): the measured Doucet-Pitt optimum — Var[log L-hat] =
-    # 1.6 at (N=512, R=2) vs 0.43 at R=16, so the replicate budget goes
-    # to chains instead; ESS/s measured 2.8-3.5x higher
-    # (examples/tune_pmmh.py, data/tune_pmmh.jsonl, RESULTS.md).
+    # Defaults C=64 x R=4 (256 kernel rows/iteration vs the round-3
+    # 8 x 16 = 128): R=4 sits INSIDE the measured Doucet-Pitt variance
+    # optimum (Var[log L-hat] = 1.02 at N=512 vs 0.43 over-provisioned
+    # at R=16 — examples/tune_variance.py) and 64 chains multiply
+    # independent samples; the doubled row count amortizes fixed
+    # per-cell overhead (measured superlinear: 256 rows ~4x the
+    # props/s of 128).  C=128 at the parity schedule crashes the TPU
+    # worker (reproduced twice) — 64 is the validated chain width.
+    # For max ESS/s specifically, R=2 measured best (data/tune_pmmh
+    # .jsonl); the CLI's --tuned preset uses that.
     num_particles = int(os.environ.get("BENCH_PARTICLES", 512))
-    num_replicates = int(os.environ.get("BENCH_REPLICATES", 2))
+    num_replicates = int(os.environ.get("BENCH_REPLICATES", 4))
     num_chains = int(os.environ.get("BENCH_CHAINS", 64))
     num_iters = int(os.environ.get("BENCH_ITERS", 30))
     impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla

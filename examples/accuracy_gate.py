@@ -41,13 +41,26 @@ REF_START_Z = (1.0, 2.0 * np.arctanh(0.5), np.log(2e-4))
 # twiceFisher(.5) = log(1.5/.5) = 2*atanh(.5); estimate_univ_svol.h:152-154
 
 
-def run_oracle(ys, iters, n_particles, n_reps, seed):
+MODE_START_Z = (0.849, 2.0 * np.arctanh(0.9744), np.log(0.0659))
+# transformed posterior mode (RESULTS.md posterior means)
+
+
+def run_oracle(ys, iters, n_particles, n_reps, seed, start="mode",
+               t1=10**9):
+    """Oracle chain.  Default start=mode + continuous adaptation: the
+    stationary TARGET is identical to the reference constants' (the MH
+    kernel is the same; adaptation only changes MIXING), but the cold
+    reference start with the t1=1000 freeze leaves a single chain
+    visibly under-mixed at 4000 iterations (first gate run: frozen
+    burn-in-geometry Ct, beta z ~ -3 purely from optimistic batch-means
+    SE on an autocorrelated chain — see data/accuracy_gate_run1.json)."""
     from ssme_tpu.oracle import oracle_pmmh
 
     t0 = time.perf_counter()
+    z0 = MODE_START_Z if start == "mode" else REF_START_Z
     samples = oracle_pmmh(seed, np.asarray(ys, np.float64).reshape(-1),
-                          np.asarray(REF_START_Z), iters, n_particles,
-                          n_reps, t0=150, t1=1000,
+                          np.asarray(z0), iters, n_particles,
+                          n_reps, t0=150, t1=t1,
                           progress_every=max(iters // 10, 1))
     return samples[:, None, :], time.perf_counter() - t0  # (iters, 1, 3)
 
@@ -109,6 +122,14 @@ def main():
     ap.add_argument("--chains", type=int, default=8)
     ap.add_argument("--skip-oracle", action="store_true",
                     help="reuse oracle samples from --out")
+    ap.add_argument("--reuse-engines", action="store_true",
+                    help="reuse parity/adaptive samples from the saved "
+                         "npz (oracle-only rerun)")
+    ap.add_argument("--oracle-start", choices=["mode", "reference"],
+                    default="mode")
+    ap.add_argument("--oracle-t1", type=int, default=0,
+                    help="0 = adapt throughout (mixing only; same "
+                         "stationary target)")
     ap.add_argument("--out", default="data/accuracy_gate.json")
     args = ap.parse_args()
 
@@ -132,8 +153,14 @@ def main():
 
     samples_npz = args.out.replace(".json", "_samples.npz")
     saved = {}
-    if args.skip_oracle and os.path.exists(samples_npz):
+    if ((args.skip_oracle or args.reuse_engines)
+            and os.path.exists(samples_npz)):
         saved = dict(np.load(samples_npz))
+    if not args.skip_oracle:
+        saved.pop("oracle", None)
+    if not args.reuse_engines:
+        saved.pop("parity", None)
+        saved.pop("adaptive", None)
 
     # --- oracle ---
     if "oracle" in saved:
@@ -141,11 +168,13 @@ def main():
         o_secs = float(saved.get("oracle_secs", np.nan))
     else:
         print(f"== oracle: T={t_len} N={args.oracle_particles} "
-              f"R={args.replicates} iters={args.oracle_iters} ==",
+              f"R={args.replicates} iters={args.oracle_iters} "
+              f"start={args.oracle_start} ==",
               file=sys.stderr, flush=True)
-        o_samples, o_secs = run_oracle(ys, args.oracle_iters,
-                                       args.oracle_particles,
-                                       args.replicates, seed=11)
+        o_samples, o_secs = run_oracle(
+            ys, args.oracle_iters, args.oracle_particles,
+            args.replicates, seed=11, start=args.oracle_start,
+            t1=(args.oracle_t1 or 10**9))
         saved["oracle"] = o_samples
         saved["oracle_secs"] = o_secs
         np.savez_compressed(samples_npz, **saved)
@@ -156,18 +185,22 @@ def main():
 
     # --- the two kernel engines ---
     for label, ess in (("parity", 1.0), ("adaptive", 0.5)):
-        print(f"== engine {label}: ess={ess} N={args.particles} "
-              f"R={args.replicates} C={args.chains} "
-              f"iters={args.engine_iters} ==", file=sys.stderr, flush=True)
-        samples, secs = run_engine(ys, args.engine_iters, args.particles,
-                                   args.replicates, ess, args.chains,
-                                   seed=23 if label == "parity" else 29)
-        saved[label] = samples
-        np.savez_compressed(samples_npz, **saved)
-        mean, se = moments(samples, args.engine_iters // 4)
+        if label in saved:
+            samples, secs = saved[label], float("nan")
+        else:
+            print(f"== engine {label}: ess={ess} N={args.particles} "
+                  f"R={args.replicates} C={args.chains} "
+                  f"iters={args.engine_iters} ==", file=sys.stderr,
+                  flush=True)
+            samples, secs = run_engine(
+                ys, args.engine_iters, args.particles, args.replicates,
+                ess, args.chains, seed=23 if label == "parity" else 29)
+            saved[label] = samples
+            np.savez_compressed(samples_npz, **saved)
+        mean, se = moments(samples, int(samples.shape[0]) // 4)
         results[label] = {"mean": mean, "mc_se": se,
                           "iters": int(samples.shape[0]),
-                          "chains": args.chains, "secs": secs}
+                          "chains": int(samples.shape[1]), "secs": secs}
 
     # --- the gate ---
     gate = {"t_len": t_len, "pass": True, "comparisons": []}

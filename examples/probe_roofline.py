@@ -47,7 +47,7 @@ def _time(fn, *args):
     return best
 
 
-def vpu_rate(rows=8, lanes=512, inner=512, grid=256, streams=8):
+def vpu_rate(rows=8, lanes=512, inner=256, grid=256, streams=24):
     """Sustained f32 FMA elements/s on the VPU.
 
     ``streams`` INDEPENDENT accumulators interleave so the measurement
@@ -81,7 +81,7 @@ def vpu_rate(rows=8, lanes=512, inner=512, grid=256, streams=8):
             "flops_per_s": 2 * fmas / secs, "secs": secs}
 
 
-def transc_rate(rows=8, lanes=512, inner=128, grid=256, streams=8):
+def transc_rate(rows=8, lanes=512, inner=64, grid=256, streams=24):
     """Sustained exp() elements/s (independent streams, as vpu_rate)."""
     def kernel(x_ref, o_ref):
         xs = [x_ref[:] * jnp.float32(1.0 + 0.1 * i)

@@ -36,7 +36,10 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=512)
     ap.add_argument("--replicates", type=int, default=2)
     ap.add_argument("--burn", type=int, default=2000)
-    ap.add_argument("--chunk", type=int, default=1000)
+    # 500-iteration compiled chunks: a 1000-iteration scan at C=64
+    # crashed the TPU worker at compile (chunk=500 is the largest
+    # validated size — tune_pmmh.py ran this exact config with it)
+    ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--tag", default="tuned")
     args = ap.parse_args(argv)
@@ -73,6 +76,20 @@ def main(argv=None):
         state = res.final_state
         chunks.append(np.asarray(res.samples))
         done += args.chunk
+        if done == args.burn:
+            # adaptation WARM RESTART at end of burn-in: the Haario
+            # moment recursion never forgets, so the burn trajectory
+            # (log ss moves ~6 units from the reference cold start)
+            # permanently inflates sigma_hat — measured 2.3% acceptance
+            # even with continuous adaptation, vs 11% for mode-started
+            # chains.  Zeroing the moments (keeping the current Ct and
+            # positions) re-learns the proposal from POSTERIOR samples
+            # only; the discarded-burn-in posterior is untouched.
+            state = state._replace(
+                mean=jnp.zeros_like(state.mean),
+                sigma_hat=jnp.zeros_like(state.sigma_hat),
+                iteration=jnp.asarray(0),
+                accept_ma=jnp.zeros_like(state.accept_ma))
         print(f"iter {done}/{args.iters} "
               f"accept={float(state.accept_ma.mean()):.3f} "
               f"({time.perf_counter() - t_wall:.0f}s)",
