@@ -81,15 +81,9 @@ def main(argv=None):
             # moment recursion never forgets, so the burn trajectory
             # (log ss moves ~6 units from the reference cold start)
             # permanently inflates sigma_hat — measured 2.3% acceptance
-            # even with continuous adaptation, vs 11% for mode-started
-            # chains.  Zeroing the moments (keeping the current Ct and
-            # positions) re-learns the proposal from POSTERIOR samples
-            # only; the discarded-burn-in posterior is untouched.
-            state = state._replace(
-                mean=jnp.zeros_like(state.mean),
-                sigma_hat=jnp.zeros_like(state.sigma_hat),
-                iteration=jnp.asarray(0),
-                accept_ma=jnp.zeros_like(state.accept_ma))
+            # even with continuous adaptation, vs 10.8% with the
+            # restart (see AdaptivePMMH.reset_adaptation)
+            state = AdaptivePMMH.reset_adaptation(state)
         print(f"iter {done}/{args.iters} "
               f"accept={float(state.accept_ma.mean()):.3f} "
               f"({time.perf_counter() - t_wall:.0f}s)",

@@ -280,6 +280,29 @@ class AdaptivePMMH:
             final_state=state,
         )
 
+    @staticmethod
+    def reset_adaptation(state: PMMHState) -> PMMHState:
+        """Warm-restart the Haario adaptation: zero the running moments
+        (and the accept-rate MA) while KEEPING the chain positions,
+        likelihoods, and the current proposal covariance Ct.
+
+        The reference's moment recursion (``ada_pmmh_mvn.h:213-250``)
+        never forgets: samples from iteration 1 weigh into sigma_hat
+        forever, so a long burn-in trajectory (e.g. the example
+        driver's cold start, ``estimate_univ_svol.h:152-154``)
+        permanently inflates the proposal.  Measured on the SPY
+        workload (RESULTS.md round 4): 2.3% acceptance without the
+        restart vs 10.8% with it — 41x the ESS/s end-to-end.  Call at
+        the end of burn-in; the stationary target is unchanged
+        (adaptation affects mixing only).
+        """
+        import jax.numpy as jnp
+        return state._replace(
+            mean=jnp.zeros_like(state.mean),
+            sigma_hat=jnp.zeros_like(state.sigma_hat),
+            iteration=jnp.asarray(0),
+            accept_ma=jnp.zeros_like(state.accept_ma))
+
     def run(self, key, start_trans_theta, num_iters, ys, zs=None,
             c0=None, num_chains=1) -> PMMHResult:
         """End-to-end: init at the start point, then ``num_iters``

@@ -149,3 +149,40 @@ def test_sample_streaming_and_resume(tmp_path, lg_setup):
         jax.random.key(9), start, 15, ys, chunk_size=5,
         checkpoint_path=ckpt)
     assert samples2.shape == (3, 1, 3)
+
+
+def test_reset_adaptation_warm_restart(lg_setup):
+    """reset_adaptation zeroes the moments/accept MA and the iteration
+    counter while KEEPING positions, likelihoods, and Ct — and the
+    chain keeps running from there (the burn-in warm-restart recipe,
+    RESULTS.md round 4)."""
+    model, pmmh, start, ys = lg_setup
+    state = pmmh.init(jax.random.key(11), start, ys, num_chains=2)
+    res = pmmh.run_from(state, 12, ys)
+    st = res.final_state
+    assert float(jnp.abs(st.mean).max()) > 0  # moments accumulated
+
+    reset = AdaptivePMMH.reset_adaptation(st)
+    np.testing.assert_array_equal(np.asarray(reset.trans_theta),
+                                  np.asarray(st.trans_theta))
+    np.testing.assert_array_equal(np.asarray(reset.log_like),
+                                  np.asarray(st.log_like))
+    np.testing.assert_array_equal(np.asarray(reset.ct), np.asarray(st.ct))
+    assert float(jnp.abs(reset.mean).max()) == 0.0
+    assert float(jnp.abs(reset.sigma_hat).max()) == 0.0
+    assert int(reset.iteration) == 0
+
+    res2 = pmmh.run_from(reset, 8, ys)
+    assert np.isfinite(np.asarray(res2.samples)).all()
+    # the restarted recursion re-derives its moments from post-reset
+    # positions ALONE: moments update with the position at proposal
+    # time (ada_pmmh_mvn.h:338), so after k iterations the running
+    # mean is the average of the reset position and the first k-1
+    # post-reset positions — no burn-in contamination
+    k = 8
+    positions = np.concatenate([
+        np.asarray(reset.trans_theta)[None],
+        np.asarray(res2.trans_samples[: k - 1])])
+    want = positions.mean(axis=0)
+    np.testing.assert_allclose(np.asarray(res2.final_state.mean), want,
+                               rtol=1e-5, atol=1e-6)
