@@ -99,6 +99,21 @@ def main(argv=None):
           f"kernel {float(tot_s.mean()):.2f} xla {float(ref.mean()):.2f} "
           f"gap {gap:.2f} < tol {tol:.2f}")
 
+    # ---- 1b. metropolis resampler path compiles, runs, stays close ----
+    # (documented small bias — docs/kernels.md; at this T it is well
+    # inside the MC tolerance.  This is the only hardware exercise of
+    # the roll-based selector: CPU tests run it in interpret mode only.)
+    tot_m, _, _ = svol_filter_pallas(7, rows, ys, num_particles=N,
+                                     ess_threshold=0.5,
+                                     resampler="metropolis",
+                                     metropolis_iters=16)
+    gap_m = abs(float(tot_m.mean()) - float(ref.mean()))
+    tol_m = tol + 1.0
+    check("svol metropolis resampler",
+          bool(np.isfinite(np.asarray(tot_m)).all()) and gap_m < tol_m,
+          f"kernel {float(tot_m.mean()):.2f} xla {float(ref.mean()):.2f} "
+          f"gap {gap_m:.2f} < tol {tol_m:.2f}")
+
     # ---- 2. factory SVOL vs hand-written kernel (same seed: bit-exact) --
     tot_f, _, _ = filter_megakernel(svol_kernel_model(), 7, rows, ys,
                                     num_particles=N)
