@@ -41,6 +41,9 @@ def main(argv=None):
     # validated size — tune_pmmh.py ran this exact config with it)
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--ess", type=float, default=0.5,
+                    help="kernel resampling schedule (1.0 = every-step "
+                         "reference parity)")
     ap.add_argument("--tag", default="tuned")
     args = ap.parse_args(argv)
 
@@ -59,7 +62,7 @@ def main(argv=None):
                                             "spy_returns.csv"), num_cols=1))
 
     batched = svol_pallas_batched_log_like(args.particles, args.replicates,
-                                           ess_threshold=0.5)
+                                           ess_threshold=args.ess)
     pmmh = AdaptivePMMH(svol.make_model(), num_particles=args.particles,
                         num_replicates=args.replicates, t0=150, t1=10**9,
                         batched_log_like=batched)
@@ -98,7 +101,7 @@ def main(argv=None):
     out = {
         "config": {"iters": args.iters, "chains": args.chains,
                    "N": args.particles, "R": args.replicates,
-                   "ess_threshold": 0.5, "adaptation": "continuous",
+                   "ess_threshold": args.ess, "adaptation": "continuous",
                    "start": "reference (estimate_univ_svol.h:152-154)",
                    "burn": args.burn},
         "wall_secs": wall,
