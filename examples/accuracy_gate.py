@@ -94,19 +94,21 @@ def run_engine(ys, iters, n_particles, n_reps, ess, chains, seed):
 
 
 def moments(samples, burn):
-    """(iters, C, 3) -> per-parameter (mean, batch-means MC-SE pooled
-    over chains)."""
-    from ssme_tpu.oracle import batch_means_se
+    """(iters, C, 3) -> per-parameter (mean, MC-SE from the Geyer
+    autocorrelation ESS).
+
+    Batch means underestimated the SE badly on sticky chains (run 1:
+    a cold-start oracle with IACT ~ 200 reported SE 0.014 when the
+    honest value was ~2x that); sd/sqrt(Geyer ESS) accounts for the
+    full autocorrelation structure."""
+    from ssme_tpu.diagnostics import ess as geyer_ess
 
     post = samples[burn:]
-    means, ses = [], []
-    for i in range(post.shape[2]):
-        chain_means = post[:, :, i].mean(axis=0)
-        chain_ses = np.array([batch_means_se(post[:, c, i])
-                              for c in range(post.shape[1])])
-        means.append(float(chain_means.mean()))
-        # se of the pooled mean: chains are independent
-        ses.append(float(np.sqrt(np.sum(chain_ses**2)) / post.shape[1]))
+    flat = post.reshape(-1, post.shape[2])
+    esses = np.maximum(geyer_ess(post), 4.0)
+    means = [float(m) for m in flat.mean(axis=0)]
+    ses = [float(flat[:, i].std(ddof=1) / np.sqrt(esses[i]))
+           for i in range(post.shape[2])]
     return means, ses
 
 
@@ -130,6 +132,16 @@ def main():
     ap.add_argument("--oracle-t1", type=int, default=0,
                     help="0 = adapt throughout (mixing only; same "
                          "stationary target)")
+    ap.add_argument("--oracle-npy", nargs="*", default=None,
+                    help="precomputed oracle chains (.npy, (iters, 3) "
+                         "or (iters, 1, 3) each) — pooled as chains")
+    ap.add_argument("--parity-npy", default=None,
+                    help="precomputed parity-engine samples "
+                         "(iters, C, 3), e.g. spy_flagship --ess 1.0")
+    ap.add_argument("--adaptive-npy", default=None,
+                    help="precomputed adaptive-engine samples")
+    ap.add_argument("--ext-burn", type=int, default=2500,
+                    help="burn-in for externally supplied sample files")
     ap.add_argument("--out", default="data/accuracy_gate.json")
     args = ap.parse_args()
 
@@ -163,7 +175,22 @@ def main():
         saved.pop("adaptive", None)
 
     # --- oracle ---
-    if "oracle" in saved:
+    if args.oracle_npy:
+        chains = []
+        for f in args.oracle_npy:
+            arr = np.load(f)
+            if arr.ndim == 2:
+                arr = arr[:, None, :]
+            chains.append(arr[args.ext_burn:])
+        n = min(c.shape[0] for c in chains)
+        o_samples = np.concatenate([c[:n] for c in chains], axis=1)
+        o_mean, o_se = moments(o_samples, 0)
+        results["oracle"] = {"mean": o_mean, "mc_se": o_se,
+                             "iters": int(o_samples.shape[0]),
+                             "chains": int(o_samples.shape[1]),
+                             "secs": None,
+                             "files": list(args.oracle_npy)}
+    elif "oracle" in saved:
         o_samples = saved["oracle"]
         o_secs = float(saved.get("oracle_secs", np.nan))
     else:
@@ -178,13 +205,23 @@ def main():
         saved["oracle"] = o_samples
         saved["oracle_secs"] = o_secs
         np.savez_compressed(samples_npz, **saved)
-    o_mean, o_se = moments(o_samples, args.oracle_iters // 4)
-    results["oracle"] = {"mean": o_mean, "mc_se": o_se,
-                         "iters": int(o_samples.shape[0]), "chains": 1,
-                         "secs": o_secs}
+    if "oracle" not in results:
+        o_mean, o_se = moments(o_samples, args.oracle_iters // 4)
+        results["oracle"] = {"mean": o_mean, "mc_se": o_se,
+                             "iters": int(o_samples.shape[0]),
+                             "chains": 1, "secs": o_secs}
 
     # --- the two kernel engines ---
+    ext_engine = {"parity": args.parity_npy, "adaptive": args.adaptive_npy}
     for label, ess in (("parity", 1.0), ("adaptive", 0.5)):
+        if ext_engine[label]:
+            samples = np.load(ext_engine[label])[args.ext_burn:]
+            mean, se = moments(samples, 0)
+            results[label] = {"mean": mean, "mc_se": se,
+                              "iters": int(samples.shape[0]),
+                              "chains": int(samples.shape[1]),
+                              "secs": None, "file": ext_engine[label]}
+            continue
         if label in saved:
             samples, secs = saved[label], float("nan")
         else:
