@@ -104,7 +104,11 @@ def moments(samples, burn):
     from ssme_tpu.diagnostics import ess as geyer_ess
 
     post = samples[burn:]
-    flat = post.reshape(-1, post.shape[2])
+    # float64 BEFORE averaging: numpy's axis-0 mean over ~5e5 f32 rows
+    # accumulates naively along the strided axis — the running sum
+    # reaches ~5e5 * theta where one ulp is ~3e-2, quantizing ~2e-3 off
+    # the mean (measured: phi 0.97251 vs the true 0.97484)
+    flat = post.reshape(-1, post.shape[2]).astype(np.float64)
     esses = np.maximum(geyer_ess(post), 4.0)
     means = [float(m) for m in flat.mean(axis=0)]
     ses = [float(flat[:, i].std(ddof=1) / np.sqrt(esses[i]))
