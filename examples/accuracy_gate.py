@@ -145,7 +145,10 @@ def main():
     ap.add_argument("--adaptive-npy", default=None,
                     help="precomputed adaptive-engine samples")
     ap.add_argument("--ext-burn", type=int, default=2500,
-                    help="burn-in for externally supplied sample files")
+                    help="burn-in for externally supplied ENGINE files")
+    ap.add_argument("--oracle-burn", type=int, default=500,
+                    help="per-chain burn-in for --oracle-npy files "
+                         "(mode-started chains need little)")
     ap.add_argument("--out", default="data/accuracy_gate.json")
     args = ap.parse_args()
 
@@ -185,7 +188,7 @@ def main():
             arr = np.load(f)
             if arr.ndim == 2:
                 arr = arr[:, None, :]
-            chains.append(arr[args.ext_burn:])
+            chains.append(arr[args.oracle_burn:])
         n = min(c.shape[0] for c in chains)
         o_samples = np.concatenate([c[:n] for c in chains], axis=1)
         o_mean, o_se = moments(o_samples, 0)
