@@ -360,6 +360,61 @@ class ShardedLiuWest:
         ``all_gather`` outside the shard_map for the global cloud."""
         return self._constrain(result.last_trans_params)
 
+    # ------------------------------------------------------------------
+    def sim_future_obs(self, key, state_particles, trans_params,
+                       num_steps, last_obs=None):
+        """Sharded future-observation simulation (the FutureSimulator
+        add-ons, ``liu_west_filter.h:600-738, 1213-1363``): per step,
+        GLOBAL shrinkage moments via psum (uniform weights — the
+        unsharded filter's convention post-resampling), per-shard
+        kernel sampling/propagation/observation; covariate models feed
+        each step's own simulated obs back (``:1327-1357``).  Call
+        inside the shard_map; returns (num_steps, n_local, dim_obs)
+        per shard.
+        """
+        m = self.model
+        m.require("sample_f", "sample_g")
+        n_local = state_particles.shape[0]
+        a = self.shrinkage_a
+        if m.has_covariates:
+            if last_obs is None:
+                raise ValueError(
+                    "covariate models feed observations back as "
+                    "covariates; pass last_obs")
+            z0 = jnp.broadcast_to(jnp.asarray(last_obs),
+                                  (n_local, m.dim_cov))
+        else:
+            z0 = jnp.zeros((n_local, 1))
+        uniform_lw = jnp.zeros((n_local,))
+
+        def step(carry, k):
+            xs, trans, zcur = carry
+            k_mvn, k_f, k_g = jax.random.split(k, 3)
+            theta_bar, chol = self._proposal_components(trans, uniform_lw)
+            shrunk = a * trans + (1.0 - a) * theta_bar
+            eps = jax.random.normal(self._shard_key(k_mvn), shrunk.shape,
+                                    dtype=shrunk.dtype)
+            new_trans = shrunk + jnp.matmul(
+                eps, chol.T, precision=jax.lax.Precision.HIGHEST)
+            new_untrans = self._constrain(new_trans)
+            kf = jax.random.split(self._shard_key(k_f), n_local)
+            if m.has_covariates:
+                xs = jax.vmap(lambda kk, x, p, z: m.sample_f(kk, p, x, z))(
+                    kf, xs, new_untrans, zcur)
+            else:
+                xs = jax.vmap(lambda kk, x, p: m.sample_f(kk, p, x, None))(
+                    kf, xs, new_untrans)
+            kg = jax.random.split(self._shard_key(k_g), n_local)
+            obs = jax.vmap(lambda kk, x, p: m.sample_g(kk, p, x))(
+                kg, xs, new_untrans)
+            znext = obs if m.has_covariates else zcur
+            return (xs, new_trans, znext), obs
+
+        _, obs_traj = jax.lax.scan(
+            step, (state_particles, trans_params, z0),
+            jax.random.split(key, num_steps))
+        return obs_traj
+
 
 def make_sharded_lw_runner(lw: ShardedLiuWest, mesh):
     """Wrap ``lw.run`` in its own shard_map over ``lw.axis_name`` so it

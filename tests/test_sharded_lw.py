@@ -129,3 +129,32 @@ def test_param_particles_stay_in_support_sharded():
     assert np.all(np.abs(params[:, 0]) < 1.0)
     assert np.all(params[:, 2] > 0.0)
     assert np.all(np.abs(params[:, 3]) < 1.0)
+
+
+def test_sharded_future_obs_simulation():
+    """Sharded future simulation runs under shard_map and produces the
+    global cloud's worth of finite observation paths; the sharded
+    shrinkage moments (psum) match the unsharded future simulator's
+    distributional behavior (smoke + support check, mirroring
+    tests/test_liu_west.py::test_future_obs_simulation)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    model = svol_leverage.make_model()
+    ys, zs = _leverage_data(t=10, seed=21)
+    mesh = _mesh(8)
+    sh = ShardedLiuWest(model, num_particles=64)
+    runner = make_sharded_lw_runner(sh, mesh)
+    res = runner(jax.random.key(6), ys, zs)
+
+    def sim(key, xs, trans, last_obs):
+        return sh.sim_future_obs(key, xs, trans, num_steps=4,
+                                 last_obs=last_obs)
+
+    f = shard_map(sim, mesh=mesh,
+                  in_specs=(P(), P("particle"), P("particle"), P()),
+                  out_specs=P(None, "particle"), check_vma=False)
+    future = f(jax.random.key(7), res.last_particles,
+               res.last_trans_params, ys[-1])
+    assert future.shape == (4, 64, 1)
+    assert np.all(np.isfinite(np.asarray(future)))
