@@ -114,6 +114,20 @@ def main(argv=None):
           f"kernel {float(tot_m.mean()):.2f} xla {float(ref.mean()):.2f} "
           f"gap {gap_m:.2f} < tol {tol_m:.2f}")
 
+    # ---- 1c. factory metropolis ABOVE the dense cap (n=2048) ----------
+    # the cap-lift claim: no (n, n) residents, so the factory compiles
+    # and runs where the dense selector cannot (docs/kernels.md)
+    rows8 = rows[:8]
+    tot_mc, _, _ = filter_megakernel(svol_kernel_model(), 9, rows8, ys,
+                                     num_particles=2048,
+                                     ess_threshold=0.5,
+                                     resampler="metropolis")
+    gap_c = abs(float(tot_mc.mean()) - float(ref.mean()))
+    check("factory metropolis n=2048 (cap lift)",
+          bool(np.isfinite(np.asarray(tot_mc)).all()) and gap_c < tol_m,
+          f"kernel {float(tot_mc.mean()):.2f} xla(n={N}) "
+          f"{float(ref.mean()):.2f} gap {gap_c:.2f} < tol {tol_m:.2f}")
+
     # ---- 2. factory SVOL vs hand-written kernel (same seed: bit-exact) --
     tot_f, _, _ = filter_megakernel(svol_kernel_model(), 7, rows, ys,
                                     num_particles=N)

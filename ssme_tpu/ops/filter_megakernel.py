@@ -54,7 +54,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
-from ssme_tpu.ops._select import select_leaves_dense
+from ssme_tpu.ops._select import (metropolis_select_leaves,
+                                  select_leaves_dense)
 from ssme_tpu.utils import logmeanexp
 
 TILE_B = 8
@@ -71,6 +72,13 @@ TILE_B = 8
 # n=512 filters log-mean-exp'd cost the same FLOPs and parallelize
 # perfectly across the row axis (docs/kernels.md "Particle caps").
 MAX_KERNEL_PARTICLES = 1024
+
+# resampler="metropolis" carries no (n, n) residents; n=2048 and n=4096
+# measured compiling and running on v5e (examples/probe_metropolis.py).
+# Power-of-two n required (roll decomposition).  Ancestor-law bias at
+# finite sweeps is documented in docs/kernels.md — the unbiased paths
+# above the dense cap remain the XLA bank and parallel.sharded_pf.
+MAX_METROPOLIS_PARTICLES = 4096
 
 
 class _Rng:
@@ -115,18 +123,24 @@ class KernelModel:
 def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                  mode: str = "bootstrap", steps_per_cell: int = 1,
                  num_tiles: int = 1, num_steps: int = 0,
-                 substep_regions: bool = False):
+                 substep_regions: bool = False,
+                 resampler: str = "systematic", metropolis_iters: int = 16):
     n = num_particles
     n_leaves = kmodel.num_state
     k_steps = steps_per_cell
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
+    use_lt = resampler == "systematic"
 
     fns = kmodel.functional_list
     n_fns = len(fns)
 
-    def kernel(seed_ref, ys_ref, zs_ref, params_ref, lt_ref,
-               out_ref, *rest):
+    def kernel(seed_ref, ys_ref, zs_ref, params_ref, *refs):
+        if use_lt:
+            lt_ref, out_ref, *rest = refs
+        else:
+            lt_ref = None
+            out_ref, *rest = refs
         fmean_refs = rest[:n_fns]
         scratch = rest[n_fns:]
         state_scr = scratch[:n_leaves]
@@ -154,17 +168,27 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             return y, z
 
         def select_leaves(w, leaves):
-            """Systematic ancestor selection of every (8, n) leaf by
-            the per-row weights ``w``, gather-free on the MXU
-            (``ops/_select.select_leaves_dense``): leaf rows are
-            gathered jointly by the same ancestors
-            (liu_west_filter.h:90-145 joint-gather semantics).  The
-            gather matmul runs at the MXU default precision, so
-            gathered VALUES pass through bf16 — which is why densities
-            are RE-EVALUATED after selection rather than carried
-            through it (see apf_step / docs/kernels.md "Precision")."""
-            u0 = _prng.uniform_offset((TILE_B, 1))           # (8, 1)
-            return select_leaves_dense(w, leaves, u0, lt_ref[:])
+            """Ancestor selection of every (8, n) leaf by the per-row
+            weights ``w``; leaf rows move jointly by the same ancestors
+            (liu_west_filter.h:90-145 joint-gather semantics).
+
+            "systematic" (default): gather-free dense one-hot on the
+            MXU (``_select.select_leaves_dense``); the gather matmul
+            runs at the MXU default precision, so gathered VALUES pass
+            through bf16 — which is why densities are RE-EVALUATED
+            after selection rather than carried through it (see
+            apf_step / docs/kernels.md "Precision").
+
+            "metropolis": O(n log n) roll-based Metropolis chains
+            (``_select.metropolis_select_leaves``) — no (n, n)
+            residents, so it lifts the VMEM particle cap; small
+            documented ancestor-law bias (docs/kernels.md)."""
+            if use_lt:
+                u0 = _prng.uniform_offset((TILE_B, 1))       # (8, 1)
+                return select_leaves_dense(w, leaves, u0, lt_ref[:])
+            return metropolis_select_leaves(
+                w, leaves, pltpu.prng_random_bits,
+                num_iters=metropolis_iters)
 
         def stage_outputs(t, lcl, fmeans):
             # stage into the revisited (8, 128) output blocks (flushed
@@ -329,11 +353,15 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 @functools.partial(jax.jit, static_argnames=("kmodel", "num_particles",
                                              "interpret", "ess_threshold",
                                              "mode", "steps_per_cell",
-                                             "substep_regions"))
+                                             "substep_regions",
+                                             "resampler",
+                                             "metropolis_iters"))
 def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                       num_particles: int = 512, interpret: bool = False,
                       ess_threshold: float = 1.0, mode: str = "bootstrap",
-                      steps_per_cell: int = 8, substep_regions=None):
+                      steps_per_cell: int = 8, substep_regions=None,
+                      resampler: str = "systematic",
+                      metropolis_iters: int = 16):
     """Run B whole-sequence particle filters in one ``pallas_call``.
 
     seed: int32 scalar or a ``jax.random`` key (see ``_prng.tile_seeds``);
@@ -356,6 +384,12 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     substep_regions: wrap each substep's advance in its own pl.when
     region (compile fallback for scoped-VMEM pressure; slower).
     Default None = auto: straight-line at n <= 512, regions above.
+
+    resampler: "systematic" (dense MXU selector, the default; particle
+    cap :data:`MAX_KERNEL_PARTICLES`) or "metropolis" (O(n log n)
+    roll-based chains, power-of-two n up to
+    :data:`MAX_METROPOLIS_PARTICLES`; small documented ancestor-law
+    bias — docs/kernels.md).
     """
     ys = jnp.asarray(ys, jnp.float32).reshape(-1, kmodel.dim_obs)
     t_len = ys.shape[0]
@@ -380,14 +414,24 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         raise ValueError(f"B={b} must be a multiple of {TILE_B}")
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
-    if n > MAX_KERNEL_PARTICLES:
+    if resampler not in ("systematic", "metropolis"):
+        raise ValueError(f"unknown resampler {resampler!r}")
+    use_lt = resampler == "systematic"
+    if use_lt and n > MAX_KERNEL_PARTICLES:
         raise ValueError(
             f"num_particles={n}: the resident (n, n) CDF matrix and the "
             f"selector's one-hot transients exceed scoped VMEM above "
-            f"{MAX_KERNEL_PARTICLES} (measured on v5e). Use the XLA "
-            "path (filters.BootstrapFilter, or megakernel_log_like's "
-            "automatic dispatch via model=) or shard the particle axis "
+            f"{MAX_KERNEL_PARTICLES} (measured on v5e). Use "
+            "resampler='metropolis' (documented small bias, cap "
+            f"{MAX_METROPOLIS_PARTICLES}), the XLA path "
+            "(filters.BootstrapFilter, or megakernel_log_like's "
+            "automatic dispatch via model=), or shard the particle axis "
             "(parallel.sharded_pf).")
+    if not use_lt and n > MAX_METROPOLIS_PARTICLES:
+        raise ValueError(
+            f"num_particles={n} exceeds the measured metropolis cap "
+            f"{MAX_METROPOLIS_PARTICLES}; use the XLA path or "
+            "parallel.sharded_pf")
     if params.shape[1] != kmodel.num_params:
         raise ValueError(f"params rows must have {kmodel.num_params} cols")
     if mode not in ("bootstrap", "apf"):
@@ -414,21 +458,25 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     n_fns = len(kmodel.functional_list)
     if substep_regions is None:
         substep_regions = n > 512
-    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
+    in_specs = [
+        pl.BlockSpec((TILE_B, kmodel.num_params),
+                     lambda i, t, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [params]
+    if use_lt:
+        in_specs.append(pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(np.tril(np.ones((n, n), np.float32)).T))
 
     outs = pl.pallas_call(
         _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps,
-                     b // TILE_B, t_len, bool(substep_regions)),
+                     b // TILE_B, t_len, bool(substep_regions),
+                     resampler, int(metropolis_iters)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(b // TILE_B, t_cells),
-            in_specs=[
-                pl.BlockSpec((TILE_B, kmodel.num_params),
-                             lambda i, t, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, n), lambda i, t, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((TILE_B, 128),
                              lambda i, t, *_: (i, (t * k_steps) // 128),
@@ -446,7 +494,7 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             for _ in range(1 + n_fns)
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, ys, zs, params, lt)
+    )(seed_arr, ys, zs, *inputs)
     lcls = outs[0][:, :t_len]
     fmeans = tuple(f[:, :t_len] for f in outs[1:])
     if n_fns == 1:
@@ -457,7 +505,9 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
 def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                         num_replicates: int, constrain=None,
                         ess_threshold: float = 0.5, model=None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        resampler: str = "systematic",
+                        metropolis_iters: int = 16):
     """PMMH ``batched_log_like`` hook for any kernel model: all chains x
     replicates in one launch, per-chain log-mean-exp over replicates
     (``thread_pool.h:259-273`` semantics).
@@ -476,14 +526,17 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
     """
     r = num_replicates
 
-    if num_particles > MAX_KERNEL_PARTICLES:
+    cap = (MAX_METROPOLIS_PARTICLES if resampler == "metropolis"
+           else MAX_KERNEL_PARTICLES)
+    if num_particles > cap:
         if model is None:
             raise ValueError(
                 f"num_particles={num_particles} exceeds the megakernel "
-                f"cap ({MAX_KERNEL_PARTICLES}); pass the matching "
+                f"cap ({cap}); pass the matching "
                 "StateSpaceModel as model= to dispatch to the generic "
-                "XLA path, or shard the particle axis "
-                "(parallel.sharded_pf)")
+                "XLA path, use resampler='metropolis' (cap "
+                f"{MAX_METROPOLIS_PARTICLES}, documented bias), or "
+                "shard the particle axis (parallel.sharded_pf)")
         from ssme_tpu.filters.bootstrap import replicated_log_like_fn
         return replicated_log_like_fn(
             model, num_particles, r,
@@ -503,7 +556,9 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
         vals, _, _ = filter_megakernel(kmodel, key, batch, ys, zs,
                                        num_particles=num_particles,
                                        ess_threshold=ess_threshold,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       resampler=resampler,
+                                       metropolis_iters=metropolis_iters)
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll
@@ -810,4 +865,5 @@ __all__ = ["KernelModel", "filter_megakernel", "megakernel_log_like",
            "megakernel_swarm_evidence", "svol_kernel_model",
            "svol_leverage_kernel_model", "factor_svol_kernel_model",
            "poisson_ar_kernel_model", "poisson_obs_rows",
-           "svol_t_kernel_model", "svol_t_param_rows", "TILE_B"]
+           "svol_t_kernel_model", "svol_t_param_rows", "TILE_B",
+           "MAX_KERNEL_PARTICLES", "MAX_METROPOLIS_PARTICLES"]
