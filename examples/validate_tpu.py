@@ -347,6 +347,17 @@ def main(argv=None):
     except Exception as e:
         ok, detail = False, f"{type(e).__name__}: {str(e)[:120]}"
     check("lw cap", ok, detail)
+    try:
+        out_cap = lwm.lw_megakernel(
+            km_lev_lw, 49, ysl[:t_cap], zs=zsl[:t_cap], num_filters=2,
+            num_particles=2048, variant="apf", ess_threshold=0.5,
+            resampler="metropolis")
+        ok = bool(np.isfinite(
+            np.asarray(out_cap["log_likelihood"])).all())
+        detail = f"n=2048 ran, finite={ok}"
+    except Exception as e:
+        ok, detail = False, f"{type(e).__name__}: {str(e)[:120]}"
+    check("lw metropolis cap lift", ok, detail)
 
     # ---- 13. LW future-sim bridge from the kernel cloud -------------------
     fut = lwm.lw_kernel_sim_future_obs(

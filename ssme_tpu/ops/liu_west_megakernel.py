@@ -65,7 +65,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
-from ssme_tpu.ops._select import compensated_cdf
+from ssme_tpu.ops._select import compensated_cdf, metropolis_select_leaves
 
 TILE = 8
 _EPS_CHOL = 1e-9
@@ -81,6 +81,11 @@ _EPS_CHOL = 1e-9
 # this, use the XLA path (filters.LiuWestFilter) or shard the particle
 # axis (parallel.sharded_pf).
 MAX_LW_KERNEL_PARTICLES = 1024
+
+# resampler="metropolis": no (n, n) residents (roll-based joint column
+# selection), lifting the LW cap; power-of-two n, measured on chip.
+# Documented ancestor-law bias at finite sweeps (docs/kernels.md).
+MAX_LW_METROPOLIS_PARTICLES = 4096
 
 _CODES = ("null", "log", "logit", "twice_fisher")
 
@@ -187,8 +192,10 @@ def _lse_row(row):
 
 def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
                   shrink_a, resample_every, variant, ess_threshold,
-                  steps_per_cell, num_tiles=1):
+                  steps_per_cell, num_tiles=1,
+                  resampler="systematic", metropolis_iters=16):
     n = num_particles
+    use_lt = resampler == "systematic"
     k_steps = steps_per_cell
     t_cells = (num_steps + k_steps - 1) // k_steps
     a = shrink_a
@@ -212,7 +219,12 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
     g_rows = 2 * s_rows + p_rows
     g8 = ((g_rows + TILE - 1) // TILE) * TILE
 
-    def kernel(seed_ref, ys_ref, zs_ref, lt_ref, lcl_ref, *rest):
+    def kernel(seed_ref, ys_ref, zs_ref, *refs):
+        if use_lt:
+            lt_ref, lcl_ref, *rest = refs
+        else:
+            lt_ref = None
+            lcl_ref, *rest = refs
         fmean_refs = rest[:n_fns]
         cloud_ref = rest[n_fns]
         s_scr, gram_scr = rest[n_fns + 1:]
@@ -277,6 +289,23 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
                 preferred_element_type=jnp.float32)
             return jnp.transpose(picked)
 
+        def select_particles(weights_row, src):
+            """Joint column selection of ``src`` (R, n) by the (1, n)
+            weights.  Dense systematic by default (drawing its own u0
+            at the exact stream position the call sites used to, so
+            the hand-kernel bit-compat is preserved); "metropolis"
+            runs per-LANE roll-based chains whose accept mask
+            broadcasts over the channel rows — the whole joint
+            (state, logw, theta) column moves together, no (n, n)
+            residents (the LW cap lift; docs/kernels.md)."""
+            if use_lt:
+                u0 = _prng.uniform_offset((1, 1))[0, 0]
+                return select_matmul(weights_row, u0, src)
+            (picked,) = metropolis_select_leaves(
+                weights_row, [src], pltpu.prng_random_bits,
+                num_iters=metropolis_iters)
+            return picked
+
         def store_maybe_resampled(t, tile, lw_row):
             """Write ``tile`` to scratch; joint (state, theta)
             systematic resample on schedule / under the ESS gate
@@ -286,8 +315,7 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
             def do_resample():
                 m = jnp.max(lw_row, axis=-1, keepdims=True)
                 w = jnp.exp(lw_row - m)
-                u0 = _prng.uniform_offset((1, 1))[0, 0]
-                picked = select_matmul(w, u0, tile)
+                picked = select_particles(w, tile)
                 lane_row = jax.lax.broadcasted_iota(
                     jnp.int32, (r8, n), 0)
                 s_scr[:] = jnp.where(lane_row == wrow,
@@ -354,12 +382,10 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
                 log_fsw = lw + lg_look
                 mfs = jnp.max(log_fsw, axis=-1, keepdims=True)
                 w_fs = jnp.exp(log_fsw - mfs)
-                u0 = _prng.uniform_offset((1, 1))[0, 0]
                 parts = list(state) + list(look) + [shrunk]
                 if g8 > g_rows:
                     parts.append(jnp.zeros((g8 - g_rows, n), jnp.float32))
-                anc = select_matmul(w_fs, u0,
-                                    jnp.concatenate(parts, axis=0))
+                anc = select_particles(w_fs, jnp.concatenate(parts, axis=0))
                 state_anc = tuple(anc[i:i + 1, :] for i in range(s_rows))
                 look_anc = tuple(anc[s_rows + i:s_rows + i + 1, :]
                                  for i in range(s_rows))
@@ -460,12 +486,15 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
 
 @functools.partial(jax.jit, static_argnames=(
     "kmodel", "num_filters", "num_particles", "delta", "resample_every",
-    "variant", "interpret", "ess_threshold", "steps_per_cell"))
+    "variant", "interpret", "ess_threshold", "steps_per_cell",
+    "resampler", "metropolis_iters"))
 def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
                   num_filters: int = 1, num_particles: int = 512,
                   delta: float = 0.99, resample_every: int = 1,
                   variant: str = "apf", interpret: bool = False,
-                  ess_threshold: float = 0.0, steps_per_cell: int = 4):
+                  ess_threshold: float = 0.0, steps_per_cell: int = 4,
+                  resampler: str = "systematic",
+                  metropolis_iters: int = 16):
     """Run ``num_filters`` whole-sequence Liu-West filters in one
     ``pallas_call`` for any :class:`LWKernelModel`.
 
@@ -500,12 +529,22 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
     n = num_particles
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
-    if n > MAX_LW_KERNEL_PARTICLES:
+    if resampler not in ("systematic", "metropolis"):
+        raise ValueError(f"unknown resampler {resampler!r}")
+    use_lt = resampler == "systematic"
+    if use_lt and n > MAX_LW_KERNEL_PARTICLES:
         raise ValueError(
             f"num_particles={n}: the in-VMEM lower-triangular CDF matrix "
             f"is n^2 floats; above {MAX_LW_KERNEL_PARTICLES} it exceeds "
-            "scoped VMEM. Use the XLA path (filters.LiuWestFilter) or "
-            "shard the particle axis (parallel.sharded_pf).")
+            "scoped VMEM. Use resampler='metropolis' (documented small "
+            f"bias, cap {MAX_LW_METROPOLIS_PARTICLES}), the XLA path "
+            "(filters.LiuWestFilter), or shard the particle axis "
+            "(parallel.sharded_lw).")
+    if not use_lt and n > MAX_LW_METROPOLIS_PARTICLES:
+        raise ValueError(
+            f"num_particles={n} exceeds the metropolis cap "
+            f"{MAX_LW_METROPOLIS_PARTICLES}; use filters.LiuWestFilter "
+            "or parallel.sharded_lw")
     if kmodel.tile_rows > 128:
         raise ValueError("num_state + 1 + num_params must fit in 128 "
                          "tile rows")
@@ -529,22 +568,25 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
     zs = jnp.concatenate(
         [zs, jnp.zeros((pad_steps * max(1, kmodel.dim_cov),), zs.dtype)])
 
-    lt = jnp.asarray(np.tril(np.ones((n, n), np.float32)).T)
     seed_arr = _prng.tile_seeds(seed, num_filters)
     t_pad = ((t_cells * k_steps + 127) // 128) * 128
     r8 = kmodel.tile_rows
     n_fns = len(kmodel.functionals or ())
+    in_specs = []
+    inputs = []
+    if use_lt:
+        in_specs.append(pl.BlockSpec((n, n), lambda fidx, t, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(np.tril(np.ones((n, n), np.float32)).T))
 
     outs = pl.pallas_call(
         _build_kernel(kmodel, n, t_len, shrink_a, int(resample_every),
-                      variant, float(ess_threshold), k_steps, num_filters),
+                      variant, float(ess_threshold), k_steps, num_filters,
+                      resampler, int(metropolis_iters)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(num_filters, t_cells),
-            in_specs=[
-                pl.BlockSpec((n, n), lambda fidx, t, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 [pl.BlockSpec((TILE, 128),
                               lambda fidx, t, *_: (fidx,
@@ -565,7 +607,7 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
             + [jax.ShapeDtypeStruct((num_filters * r8, n), jnp.float32)]
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed_arr, ys, zs, lt)
+    )(seed_arr, ys, zs, *inputs)
 
     # scalar outputs were broadcast to all 8 staging rows; take row 0
     lcls = outs[0].reshape(num_filters, TILE, t_pad)[:, 0, :t_len]
@@ -781,4 +823,5 @@ __all__ = ["LWKernelModel", "lw_megakernel", "lw_cloud_params",
            "lw_cloud_weights", "lw_cloud_states",
            "lw_kernel_sim_future_obs",
            "svol_leverage_lw_kernel_model", "svol_t_lw_kernel_model",
-           "MAX_LW_KERNEL_PARTICLES", "TILE"]
+           "MAX_LW_KERNEL_PARTICLES", "MAX_LW_METROPOLIS_PARTICLES",
+           "TILE"]
