@@ -13,14 +13,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
+import ssme_tpu.parallel.sharded_lw as sharded_lw_mod
 from ssme_tpu.filters import LiuWestFilter
 from ssme_tpu.models import lgssm, svol_leverage
 from ssme_tpu.parallel.sharded_lw import (
     ShardedLiuWest,
     make_sharded_lw_runner,
 )
+from ssme_tpu.parallel.sharded_pf import sharded_systematic_ancestors
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
@@ -129,6 +132,126 @@ def test_param_particles_stay_in_support_sharded():
     assert np.all(np.abs(params[:, 0]) < 1.0)
     assert np.all(params[:, 2] > 0.0)
     assert np.all(np.abs(params[:, 3]) < 1.0)
+
+
+def _allgather_joint_resample(key, log_w_local, tree_local, axis_name):
+    """O(N)-memory reference assignment over the SAME partition-position
+    floats ``ring_resample`` uses (``sharded_systematic_ancestors`` shares
+    ``_partition_positions``), applied to the whole joint pytree."""
+    anc = sharded_systematic_ancestors(key, log_w_local, axis_name)
+
+    def gather(leaf):
+        cloud = jax.lax.all_gather(leaf, axis_name)
+        cloud = cloud.reshape((-1,) + leaf.shape[1:])
+        return jnp.take(cloud, anc, axis=0)
+
+    return jax.tree_util.tree_map(gather, tree_local)
+
+
+def test_joint_ring_matches_allgather_bitwise():
+    """VERDICT r4 item 5: the sharded-LW joint (x, theta) exchange must
+    reproduce the all-gather reference assignment EXACTLY, leaf for
+    leaf — the same pin tests/test_sharded_pf.py holds for the
+    single-leaf bootstrap cloud."""
+    from ssme_tpu.parallel.sharded_pf import ring_resample
+
+    for shards in (2, 4, 8):
+        mesh = _mesh(shards)
+        n = 64
+
+        def via_ring(logw, xs, thetas, key):
+            return ring_resample(key, logw, (xs, thetas), "particle")
+
+        def via_gather(logw, xs, thetas, key):
+            return _allgather_joint_resample(key, logw, (xs, thetas),
+                                             "particle")
+
+        specs = dict(
+            in_specs=(P("particle"), P("particle"), P("particle"), P()),
+            out_specs=(P("particle"), P("particle")), check_vma=False)
+        f_ring = shard_map(via_ring, mesh=mesh, **specs)
+        f_gather = shard_map(via_gather, mesh=mesh, **specs)
+        for seed in range(4):
+            kw, kx, kth, kr = jax.random.split(jax.random.key(seed), 4)
+            logw = 3.0 * jax.random.normal(kw, (n,))
+            xs = jax.random.normal(kx, (n, 2))          # state leaves
+            thetas = jax.random.normal(kth, (n, 4))     # trans params
+            a = f_ring(logw, xs, thetas, kr)
+            b = f_gather(logw, xs, thetas, kr)
+            for la, lb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(la),
+                                              np.asarray(lb))
+
+
+@pytest.mark.parametrize("variant", ["apf", "sisr"])
+def test_full_filter_ring_equals_allgather_bitwise(variant, monkeypatch):
+    """Whole-filter pin: running ShardedLiuWest with the ring exchange
+    swapped for the all-gather reference assignment changes NOTHING —
+    conditional likelihoods, expectations, and the final joint cloud are
+    bit-identical (so every joint resample inside the scan agreed)."""
+    model = svol_leverage.make_model()
+    ys, zs = _leverage_data(t=10, seed=11)
+    mesh = _mesh(8)
+
+    def run_once():
+        lw = ShardedLiuWest(model, num_particles=64, variant=variant,
+                            ess_threshold=0.5,
+                            functionals=(lambda x, z, p: x,))
+        return make_sharded_lw_runner(lw, mesh)(jax.random.key(2), ys, zs)
+
+    res_ring = run_once()
+    monkeypatch.setattr(sharded_lw_mod, "ring_resample",
+                        _allgather_joint_resample)
+    res_gather = run_once()
+    for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(res_ring),
+                              jax.tree_util.tree_leaves(res_gather)):
+        np.testing.assert_array_equal(np.asarray(leaf_a),
+                                      np.asarray(leaf_b))
+
+
+def test_joint_ring_bisection_path_real_threshold():
+    """Close VERDICT r4 weak item 7: execute the ring exchange with
+    n_local large enough that ``searchsorted_cdf`` takes its log2(N)
+    bisection branch FOR REAL (n_local^2 > _MATRIX_SEARCH_LIMIT, no
+    monkeypatching) and pin ring == allgather on the joint pytree.
+    Bisection requires sorted q positions — this executes the
+    prefix-max monotonicity enforcement in _partition_positions at the
+    scale it exists for."""
+    from ssme_tpu import resampling
+    from ssme_tpu.parallel.sharded_pf import ring_resample
+
+    n_local = 2048
+    shards = 2
+    assert n_local * n_local > resampling._MATRIX_SEARCH_LIMIT
+    mesh = _mesh(shards)
+    n = n_local * shards
+
+    def via_ring(logw, xs, thetas, key):
+        return ring_resample(key, logw, (xs, thetas), "particle")
+
+    def via_gather(logw, xs, thetas, key):
+        return _allgather_joint_resample(key, logw, (xs, thetas),
+                                         "particle")
+
+    specs = dict(
+        in_specs=(P("particle"), P("particle"), P("particle"), P()),
+        out_specs=(P("particle"), P("particle")), check_vma=False)
+    f_ring = jax.jit(shard_map(via_ring, mesh=mesh, **specs))
+    f_gather = jax.jit(shard_map(via_gather, mesh=mesh, **specs))
+    for seed in range(2):
+        kw, kx, kth, kr = jax.random.split(jax.random.key(seed), 4)
+        logw = 3.0 * jax.random.normal(kw, (n,))
+        # crush a tail so pinned boundaries nearly coincide with
+        # interior q values (the 1-ulp-inversion regime)
+        logw = logw.at[-77:].set(-80.0)
+        xs = jax.random.normal(kx, (n, 1))
+        thetas = jax.random.normal(kth, (n, 3))
+        a = f_ring(logw, xs, thetas, kr)
+        b = f_gather(logw, xs, thetas, kr)
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        # every output slot claimed (no zeros-init rows survive)
+        assert not np.any(np.all(np.asarray(a[0]) == 0.0, axis=-1))
 
 
 def test_sharded_future_obs_simulation():
