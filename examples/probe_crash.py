@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Root-cause probes for the two documented TPU-worker crashes
+(VERDICT r4 item 1):
+
+  A. C=128 chains x R=4 (512 kernel rows) at the PARITY schedule kills
+     the TPU worker; C=64 (256 rows) is fine.
+  B. A 1000-iteration PMMH scan in ONE jit at C=64 kills the worker;
+     500-iteration chunks are fine.
+
+Each probe runs in its OWN subprocess (a Mosaic/worker fault kills the
+whole process; isolation keeps the sweep alive — same rationale as
+bench.py's workers) and separates the COMPILE stage from the RUN stage:
+
+  phase="compile": jax.jit(...).lower(...).compile() only
+  phase="run":     compile + execute + fetch
+
+Results append to data/probe_crash.jsonl as one JSON line per probe:
+  {"probe": ..., "rows"/"iters": ..., "ess": ..., "phase": ...,
+   "rc": int, "elapsed": s, "note": last-line-of-output}
+
+Usage:
+  python examples/probe_crash.py                # default sweep
+  python examples/probe_crash.py --probe rows   # row-width sweep only
+  python examples/probe_crash.py --probe scan   # scan-length sweep only
+
+The guards these probes calibrate live in
+``ssme_tpu.ops.svol_filter_kernel`` / ``ops.filter_megakernel``
+(MAX_KERNEL_ROWS) and ``ssme_tpu.inference.pmmh`` (MAX_SCAN_ITERS):
+the reference never crashes on legal configs
+(``ada_pmmh_mvn.h:326-372`` runs any ``num_mcmc_iters``), so neither
+may we.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# worker: one (probe, config, phase) in this process
+# ---------------------------------------------------------------------------
+
+def _worker():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from ssme_tpu.io import read_data
+
+    probe = os.environ["PROBE_KIND"]
+    phase = os.environ["PROBE_PHASE"]
+    ess = float(os.environ.get("PROBE_ESS", "1.0"))
+    ys = jnp.asarray(read_data(os.path.join(REPO, "data",
+                                            "spy_returns.csv"),
+                               num_cols=1))
+
+    if probe == "rows":
+        # one kernel launch with the requested ROW count (chains x reps
+        # collapsed — the kernel only sees rows), full SPY T, requested
+        # schedule.  No PMMH scan: isolates the launch itself.
+        from ssme_tpu.ops.svol_filter_kernel import svol_filter_pallas
+        rows = int(os.environ["PROBE_ROWS"])
+        params = jnp.broadcast_to(
+            jnp.asarray([1.0, 0.9, 0.35], jnp.float32), (rows, 3))
+
+        fn = jax.jit(lambda key, p: svol_filter_pallas(
+            key, p, ys, num_particles=512, ess_threshold=ess)[0])
+        t0 = time.time()
+        lowered = fn.lower(jax.random.key(0), params)
+        compiled = lowered.compile()
+        t_compile = time.time() - t0
+        if phase == "compile":
+            print(json.dumps({"ok": True, "t_compile": t_compile}))
+            return
+        t0 = time.time()
+        out = compiled(jax.random.key(0), params)
+        val = float(jnp.sum(out))
+        print(json.dumps({"ok": bool(val == val), "t_compile": t_compile,
+                          "t_run": time.time() - t0, "sum": val}))
+        return
+
+    if probe == "scan":
+        # one PMMH run_from scan of the requested length in ONE jit at
+        # C chains x R replicates (the flagship path).
+        from ssme_tpu.inference import AdaptivePMMH
+        from ssme_tpu.models import svol
+        from ssme_tpu.ops.svol_filter_kernel import (
+            svol_pallas_batched_log_like)
+
+        iters = int(os.environ["PROBE_ITERS"])
+        chains = int(os.environ.get("PROBE_CHAINS", "64"))
+        reps = int(os.environ.get("PROBE_REPS", "4"))
+        model = svol.make_model()
+        pmmh = AdaptivePMMH(
+            model, num_particles=512, num_replicates=reps,
+            t0=150, t1=1000,
+            batched_log_like=svol_pallas_batched_log_like(
+                512, reps, ess_threshold=ess))
+        state = pmmh.init(jax.random.key(0),
+                          jnp.asarray(svol.START_TRANS_THETA), ys,
+                          num_chains=chains)
+        fn = jax.jit(lambda st: pmmh.run_from(st, iters, ys))
+        t0 = time.time()
+        compiled = fn.lower(state).compile()
+        t_compile = time.time() - t0
+        if phase == "compile":
+            print(json.dumps({"ok": True, "t_compile": t_compile}))
+            return
+        t0 = time.time()
+        res = compiled(state)
+        val = float(jnp.sum(res.samples))
+        print(json.dumps({"ok": bool(val == val), "t_compile": t_compile,
+                          "t_run": time.time() - t0, "sum": val}))
+        return
+
+    raise SystemExit(f"unknown probe {probe!r}")
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _launch(probe, phase, timeout, **cfg):
+    env = dict(os.environ)
+    env["PROBE_MODE"] = "worker"
+    env["PROBE_KIND"] = probe
+    env["PROBE_PHASE"] = phase
+    for k, v in cfg.items():
+        env[f"PROBE_{k.upper()}"] = str(v)
+    t0 = time.time()
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=timeout)
+        rc = proc.returncode
+        note = (proc.stdout.strip().split("\n") or [""])[-1][:300]
+        err = (proc.stderr.strip().split("\n") or [""])[-1][:300]
+    except subprocess.TimeoutExpired:
+        rc, note, err = -9, "TIMEOUT", ""
+    rec = {"probe": probe, "phase": phase, **cfg, "rc": rc,
+           "elapsed": round(time.time() - t0, 1), "note": note,
+           "stderr_tail": err}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(os.path.join(REPO, "data", "probe_crash.jsonl"), "a") as f:
+        f.write(line + "\n")
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probe", choices=["rows", "scan", "all"],
+                    default="all")
+    ap.add_argument("--timeout", type=int, default=2400)
+    args = ap.parse_args()
+
+    if args.probe in ("rows", "all"):
+        # 256 = validated control; 512 = documented crash.  Bisect 384,
+        # and check whether the ADAPTIVE schedule crashes at 512 too.
+        for rows, ess in ((256, 1.0), (512, 1.0), (384, 1.0),
+                          (512, 0.5)):
+            rec = _launch("rows", "compile", args.timeout,
+                          rows=rows, ess=ess)
+            if rec["rc"] == 0:
+                _launch("rows", "run", args.timeout, rows=rows, ess=ess)
+
+    if args.probe in ("scan", "all"):
+        # 500 = validated control; 1000 = documented crash; bisect 750.
+        for iters, ess in ((500, 0.5), (1000, 0.5), (750, 0.5)):
+            rec = _launch("scan", "compile", args.timeout,
+                          iters=iters, ess=ess)
+            if rec["rc"] == 0:
+                _launch("scan", "run", args.timeout, iters=iters,
+                        ess=ess)
+
+
+if __name__ == "__main__":
+    if os.environ.get("PROBE_MODE") == "worker":
+        _worker()
+    else:
+        main()

@@ -41,6 +41,17 @@ from ssme_tpu.filters.bootstrap import log_likelihood_fn
 from ssme_tpu.models.base import StateSpaceModel
 from ssme_tpu.utils import logmeanexp
 
+# Longest validated single-`lax.scan` iteration count for one device
+# execution on the tunneled v5e rig: a 1000-iteration PMMH scan in ONE
+# jit at C=64 x R=4 kernel rows reproducibly killed the TPU worker,
+# while 500-iteration chunks run indefinitely (round-4 post-mortem;
+# examples/probe_crash.py -> data/probe_crash.jsonl re-measures it).
+# ``run``/``run_from`` transparently split longer requests into
+# host-level chunks of at most this many iterations — the reference
+# runs any ``num_mcmc_iters`` without crashing
+# (``ada_pmmh_mvn.h:326-372``) and so must we.
+MAX_SCAN_ITERS = 500
+
 
 class PMMHState(NamedTuple):
     """Per-chain sampler state (a pytree; leading axis = chains).
@@ -228,7 +239,59 @@ class AdaptivePMMH:
 
     # ------------------------------------------------------------------
     def run_from(self, state: PMMHState, num_iters, ys, zs=None) -> PMMHResult:
-        """Advance every chain ``num_iters`` MH iterations (resumable)."""
+        """Advance every chain ``num_iters`` MH iterations (resumable).
+
+        Requests longer than :data:`MAX_SCAN_ITERS` are transparently
+        split into host-level chunks of one compiled scan each — a
+        single longer device execution reproducibly kills the TPU
+        worker on the tunneled rig (see the constant's note;
+        data/probe_crash.jsonl), and the reference runs ANY
+        ``num_mcmc_iters`` (``ada_pmmh_mvn.h:326-372``).  A ragged tail
+        is padded to a full chunk and the extra iterations discarded
+        from the outputs (one compiled program total), so
+        ``final_state`` can sit up to ``MAX_SCAN_ITERS - 1`` iterations
+        PAST the last returned sample — the chain law is unchanged and
+        ``result.samples`` always holds exactly the first ``num_iters``
+        iterations.  Calls with ``num_iters <= MAX_SCAN_ITERS`` are
+        bit-identical to previous releases.  Under an outer ``jit``
+        trace the host-level split cannot apply (everything fuses into
+        one device execution again) — a warning is emitted and the
+        caller should chunk outside its jit instead.
+        """
+        n_iters = num_iters if isinstance(num_iters, jax.core.Tracer) \
+            else int(num_iters)
+        traced = (isinstance(state.iteration, jax.core.Tracer)
+                  or isinstance(n_iters, jax.core.Tracer))
+        if traced or n_iters <= MAX_SCAN_ITERS:
+            if traced and (isinstance(n_iters, jax.core.Tracer)
+                           or n_iters > MAX_SCAN_ITERS):
+                import warnings
+                warnings.warn(
+                    f"run_from({num_iters} iters) inside a jit trace: "
+                    f"the {MAX_SCAN_ITERS}-iteration worker-crash guard "
+                    "cannot chunk device executions under tracing; "
+                    "chunk outside your jit (or call sample())",
+                    stacklevel=2)
+            return self._scan_chunk(state, num_iters, ys, zs)
+        ys_arr = jnp.asarray(ys)
+        zs_arr = None if zs is None else jnp.asarray(zs)
+        num_chunks = -(-n_iters // MAX_SCAN_ITERS)
+        chunk = jax.jit(lambda st: self._scan_chunk(
+            st, MAX_SCAN_ITERS, ys_arr, zs_arr))
+        results = []
+        for _ in range(num_chunks):
+            res = chunk(state)
+            state = res.final_state
+            results.append(res)
+        merged = [jnp.concatenate([getattr(r, f) for r in results],
+                                  axis=0)[:n_iters]
+                  for f in PMMHResult._fields[:-1]]
+        return PMMHResult(*merged, final_state=state)
+
+    def _scan_chunk(self, state: PMMHState, num_iters, ys, zs=None
+                    ) -> PMMHResult:
+        """One ``lax.scan`` of ``num_iters`` iterations (the pre-guard
+        ``run_from`` body; see ``run_from`` for the chunking contract)."""
         ys = jnp.asarray(ys)
         if zs is not None:
             zs = jnp.asarray(zs)
@@ -329,11 +392,21 @@ class AdaptivePMMH:
         Returns (samples, final PMMHState) where ``samples`` holds the
         iterations executed by THIS call — ``(num_iters - resumed, C, d)``
         when resuming from a checkpoint (possibly empty).
+
+        A ragged final chunk is PADDED to ``chunk_size`` and the extra
+        iterations discarded (``run_from``'s pad-and-discard contract):
+        one compiled program covers the whole run — no extra
+        multi-minute tail compile on the remote-compile rig — at the
+        cost of the returned/checkpointed state sitting up to
+        ``chunk_size - 1`` iterations past the last recorded sample
+        (the chain law is unchanged; resuming continues the same
+        chain).
         """
         import numpy as np
 
         from ssme_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 
+        chunk_size = min(int(chunk_size), MAX_SCAN_ITERS)
         state = self.init(key, start_trans_theta, ys, zs=zs, c0=c0,
                           num_chains=num_chains)
         done = 0
@@ -347,12 +420,15 @@ class AdaptivePMMH:
         all_samples = []
         chunk_idx = 0
         while done < num_iters:
-            if num_iters - done < chunk_size:
-                # final ragged chunk compiles once more at its own size
-                res = self.run_from(state, num_iters - done, ys, zs=zs)
-            else:
-                res = run(state)
+            res = run(state)
             state = res.final_state
+            take = min(chunk_size, num_iters - done)
+            if take < chunk_size:
+                # pad-and-discard: slice every per-iteration field so
+                # writers and returns see exactly num_iters iterations
+                res = PMMHResult(
+                    *[x[:take] for x in res[:-1]],
+                    final_state=res.final_state)
             chunk = np.asarray(res.samples)
             all_samples.append(chunk)
             # writers: a single writer records chain 0; a list records

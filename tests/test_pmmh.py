@@ -186,3 +186,59 @@ def test_reset_adaptation_warm_restart(lg_setup):
     want = positions.mean(axis=0)
     np.testing.assert_allclose(np.asarray(res2.final_state.mean), want,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_run_from_auto_chunks_above_max_scan(lg_setup, monkeypatch):
+    """VERDICT r4 item 1b: requests above MAX_SCAN_ITERS split into
+    host-level chunks of ONE compiled size, pad-and-discard the ragged
+    tail, and return exactly the first num_iters iterations — bit-equal
+    to the single-scan result (chunk composition is already pinned
+    bit-exact)."""
+    import ssme_tpu.inference.pmmh as pmmh_mod
+
+    model, pmmh, start, ys = lg_setup
+    st0 = pmmh.init(jax.random.key(9), start, ys, num_chains=1)
+    # ground truth BEFORE shrinking the guard: one 15-iteration scan
+    full = pmmh._scan_chunk(st0, 15, ys)
+    monkeypatch.setattr(pmmh_mod, "MAX_SCAN_ITERS", 6)
+    res = pmmh.run_from(st0, 15, ys)          # 3 chunks of 6, sliced
+    assert res.samples.shape[0] == 15
+    np.testing.assert_array_equal(np.asarray(res.samples),
+                                  np.asarray(full.samples))
+    np.testing.assert_array_equal(np.asarray(res.accepted),
+                                  np.asarray(full.accepted))
+    # pad-and-discard: the state ran to the chunk boundary (18 = 3*6)
+    assert int(res.final_state.iteration) == 18
+    # aligned requests keep the exact final state
+    res12 = pmmh.run_from(st0, 12, ys)
+    assert int(res12.final_state.iteration) == 12
+    np.testing.assert_array_equal(np.asarray(res12.samples),
+                                  np.asarray(full.samples)[:12])
+
+
+def test_run_from_warns_inside_jit_trace(lg_setup, monkeypatch):
+    import ssme_tpu.inference.pmmh as pmmh_mod
+
+    model, pmmh, start, ys = lg_setup
+    st0 = pmmh.init(jax.random.key(9), start, ys, num_chains=1)
+    monkeypatch.setattr(pmmh_mod, "MAX_SCAN_ITERS", 6)
+    with pytest.warns(UserWarning, match="worker-crash guard"):
+        out = jax.jit(lambda st: pmmh.run_from(st, 15, ys))(st0)
+    assert out.samples.shape[0] == 15
+
+
+def test_sample_ragged_tail_single_compiled_size(tmp_path, lg_setup,
+                                                 monkeypatch):
+    """Weak item 6: the final ragged chunk must reuse the same compiled
+    chunk program (pad-and-discard), returning exactly num_iters
+    samples that match the run_from stream."""
+    model, pmmh, start, ys = lg_setup
+    samples, state = pmmh.sample(jax.random.key(11), start, 11, ys,
+                                 num_chains=1, chunk_size=4)
+    assert samples.shape[0] == 11
+    st0 = pmmh.init(jax.random.key(11), start, ys, num_chains=1)
+    ref = pmmh._scan_chunk(st0, 12, ys)       # 3 full chunks of 4
+    np.testing.assert_array_equal(samples, np.asarray(ref.samples)[:11])
+    # state advanced to the chunk boundary (12), one past the last
+    # recorded sample — documented pad-and-discard contract
+    assert int(state.iteration) == 12
