@@ -13,6 +13,10 @@ from ssme_tpu.ops.svol_leverage_lw_kernel import (
     lw_cloud_params,
     lw_cloud_weights,
 )
+from ssme_tpu.ops.filter_megakernel import (
+    metropolis_bias_estimate,
+    metropolis_sweeps_for,
+)
 from ssme_tpu.ops.liu_west_megakernel import (
     LWKernelModel,
     lw_megakernel,
@@ -29,6 +33,8 @@ from ssme_tpu.ops.liu_west_megakernel import (
 )
 
 __all__ = [
+    "metropolis_bias_estimate",
+    "metropolis_sweeps_for",
     "lw_factory_cloud_states",
     "lw_factory_cloud_weights",
     "lw_factory_cloud_params",

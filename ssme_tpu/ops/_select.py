@@ -175,9 +175,12 @@ def metropolis_select_leaves(w, leaves, draw_bits, num_iters=16):
 
     w: (TILE_B, n) nonnegative weights, n a power of two (the shift is
     masked to [0, n)); leaves: list of (TILE_B, n) moved jointly;
-    draw_bits: ``shape -> uint32 bits`` (``pltpu.prng_random_bits``
-    in-kernel; any deterministic stand-in under test).  Returns the
-    selected leaves.
+    draw_bits: ``shape -> SIGNED int32 bits`` (``pltpu.prng_random_bits``
+    in-kernel, which returns int32 per the _prng.py convention; any
+    deterministic stand-in under test must match — the +2^31 shift in
+    the accept-uniform conversion below maps int32 to (0, 1] and would
+    map a uint32 source to (0.5, 1.5], skewing the accept law).
+    Returns the selected leaves.
     """
     tile_b, n = w.shape
     if n & (n - 1):
@@ -216,5 +219,166 @@ def metropolis_select_leaves(w, leaves, draw_bits, num_iters=16):
     return cur
 
 
+def rejection_select_leaves(w, leaves, draw_bits, max_iters=4096,
+                            draw_bits_at=None):
+    """UNBIASED O(n)-class gather-free REJECTION resampling (VERDICT r4
+    item 2 — the other half of the r3 Metropolis A/B; replaces the same
+    sequential walk, ``liu_west_filter.h:101-139``; Murray, Lee & Jacob
+    2016's rejection resampler in TPU roll form).
+
+    Law: output slot j first proposes ITSELF, accepting with
+    probability w_j / w_max; while rejected, it proposes the particle a
+    shared fresh uniform lane-offset away (cumulative ``pltpu.roll``,
+    exactly the Metropolis proposal mechanics above) and accepts with
+    probability w_cand / w_max.  Run to termination this is an exact
+    rejection sampler per slot: accepted ancestors are Categorical(w),
+    and the identity-first start gives offspring counts
+    E[#offspring of i] = w_i/w_max + (w_i/sum w) * (n - sum w / w_max)
+    = n w_i / sum w — UNBIASED, with the heaviest particles keeping
+    their own slot (lower ancestor variance than pure multinomial).
+    Unlike ``metropolis_select_leaves`` there is NO finite-sweep
+    ancestor-law bias: the loop runs until every slot has accepted
+    (``lax.while_loop`` on the all-accepted scalar), with ``max_iters``
+    as a safety net only — P(any slot unaccepted after B sweeps)
+    <= n (1 - 1/kappa)^B with kappa = n max w / sum w, i.e. ~1e-300
+    territory at the cap for any non-degenerate weight vector (a capped
+    slot keeps its identity ancestor).
+
+    Cost per sweep: one traced-amount roll of ``w`` plus one per leaf
+    (log2 n static rolls each), a fresh (TILE_B, n) uniform, and
+    compare/selects — no CDF, no (n, n) residents, so the VMEM particle
+    cap is the same as the Metropolis path's, NOT the dense selector's.
+    The sweep count is data-dependent: E[sweeps to drain all n slots]
+    ~= kappa * (ln n + 0.58) (max of n geometrics).
+
+    w: (TILE_B, n) nonnegative weights, n a power of two; leaves: list
+    of (TILE_B, n) moved jointly; draw_bits: ``shape -> SIGNED int32
+    bits``, called INSIDE the ``while_loop`` body — on hardware
+    ``pltpu.prng_random_bits`` is a stateful instruction, so each
+    runtime sweep reads fresh bits even though the body traces once.
+    A pure stand-in would freeze the stream across sweeps, so tests
+    pass ``draw_bits_at(t, shape)`` instead (sweep-indexed; e.g. a
+    ref-dslice read of a pre-drawn tape), which also caps
+    ``max_iters`` at the tape length.  Returns the selected leaves.
+    """
+    tile_b, n = w.shape
+    if n & (n - 1):
+        raise ValueError(f"rejection selector needs power-of-two n, got {n}")
+    log2n = int(n.bit_length() - 1)
+
+    if draw_bits_at is None:
+        def draw_bits_at(t, shape):
+            return draw_bits(shape)
+
+    def to_uniform(bits):
+        # (0, 1]: a 0 draw would accept a zero-weight candidate
+        return ((bits.astype(jnp.float32) + 2147483648.0 + 1.0)
+                * jnp.float32(2.0**-32))
+
+    def roll_to(x, c):
+        out = x
+        for b in range(log2n):
+            take = (c & jnp.uint32(1 << b)) != jnp.uint32(0)
+            out = jnp.where(take, pltpu.roll(out, shift=1 << b, axis=1), out)
+        return out
+
+    w_max = jnp.max(w, axis=-1, keepdims=True)
+    # sweep 0: identity proposal (roll by c=0).  The accept mask is
+    # carried as f32 0/1, not bool: Mosaic cannot yield vector<i1>
+    # through a while_loop (scf.yield legalization failure, measured).
+    acc0 = jnp.where(
+        (to_uniform(draw_bits_at(jnp.zeros((), jnp.int32),
+                                 (tile_b, n))) * w_max) < w, 1.0, 0.0)
+    cur0 = list(leaves)
+
+    def cond(carry):
+        t, c, acc, *_ = carry
+        return (t < max_iters) & (jnp.min(acc) < 0.5)
+
+    def body(carry):
+        t, c, acc, *cur = carry
+        c = c + draw_bits_at(t, (1, 1))[0, 0].astype(jnp.uint32)
+        u = to_uniform(draw_bits_at(t, (tile_b, n)))
+        w_cand = roll_to(w, c)
+        take = jnp.where((acc < 0.5) & (u * w_max < w_cand), 1.0, 0.0)
+        cur = [jnp.where(take > 0.5, roll_to(leaf, c), leaf_cur)
+               for leaf, leaf_cur in zip(leaves, cur)]
+        return (t + 1, c, acc + take, *cur)
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (jnp.ones((), jnp.int32), jnp.zeros((), jnp.uint32), acc0, *cur0))
+    return list(out[3:])
+
+
+# ---------------------------------------------------------------------------
+# Metropolis sweep budgeting (VERDICT r4 item 6: safe-by-construction)
+# ---------------------------------------------------------------------------
+
+# Measured total-evidence bias envelope of the finite-sweep Metropolis
+# ancestor law, fitted as  bias(B) = A * (t_len / 3084) * (B / 8)^-P
+# per schedule (SPY workload, N=512, theta*, 1024-3072 rows;
+# data/probe_metropolis.jsonl + data/probe_resampler.jsonl, both
+# models — univ-SVOL and SVOL-leverage; docs/kernels.md table):
+#
+# - parity (resample every step, ~T events): bias 5.78/3.55/2.11 nats
+#   at B=8/16/32 -> A=5.8, P=0.73 (the slowest decay measured);
+# - ESS-adaptive at 0.5 (~T/8 events): 1.59/0.86/0.44 -> A=1.6, P=0.93
+#   (P clamped to the conservative 0.73 below).
+#
+# The envelope scales linearly in t_len (bias accumulates per
+# resampling event) and is measured n-INSENSITIVE from 512 to 4096
+# (kappa = n max w / sum w is roughly n-free for non-degenerate
+# weights).  _BIAS_SAFETY doubles the fit to cover model-to-model
+# spread (the leverage model measured within ~1.5x of SVOL).
+_METROPOLIS_BIAS_A = {"parity": 5.8, "adaptive": 1.6}
+_METROPOLIS_BIAS_P = 0.73
+_BIAS_FIT_T = 3084.0
+_BIAS_SAFETY = 2.0
+
+
+def metropolis_bias_estimate(num_iters, t_len, ess_threshold=0.5):
+    """Conservative predicted |evidence bias| (nats) of the Metropolis
+    resampler at ``num_iters`` sweeps on a T=``t_len`` series (fit note
+    above; schedule = parity when ``ess_threshold >= 1``, else the
+    adaptive envelope — thresholds above 0.5 resample more often, so
+    the parity envelope is used for them too)."""
+    sched = "parity" if ess_threshold > 0.5 else "adaptive"
+    a = _METROPOLIS_BIAS_A[sched] * _BIAS_SAFETY
+    return (a * (float(t_len) / _BIAS_FIT_T)
+            * (float(num_iters) / 8.0) ** (-_METROPOLIS_BIAS_P))
+
+
+def metropolis_sweeps_for(bias_budget, t_len, ess_threshold=0.5,
+                          max_sweeps=256):
+    """Smallest sweep count whose predicted evidence bias (see
+    :func:`metropolis_bias_estimate`) is within ``bias_budget`` nats.
+
+    The PMMH hook (``filter_megakernel.megakernel_log_like``) defaults
+    ``metropolis_iters`` to this, so a pseudo-marginal run cannot
+    silently adopt a sweep count whose theta-dependent bias would
+    distort the posterior (``ada_pmmh_mvn.h:22-28``'s unbiasedness
+    requirement).  Raises when no count within ``max_sweeps`` meets the
+    budget — at that point use the unbiased alternatives
+    (resampler="rejection", the XLA bank, or parallel.sharded_pf).
+    """
+    if bias_budget <= 0:
+        raise ValueError("bias_budget must be positive (nats)")
+    sched = "parity" if ess_threshold > 0.5 else "adaptive"
+    a = _METROPOLIS_BIAS_A[sched] * _BIAS_SAFETY
+    b = 8.0 * (a * (float(t_len) / _BIAS_FIT_T)
+               / float(bias_budget)) ** (1.0 / _METROPOLIS_BIAS_P)
+    sweeps = max(4, int(-(-b // 2) * 2))          # round up to even
+    if sweeps > max_sweeps:
+        raise ValueError(
+            f"metropolis bias budget {bias_budget} nats needs ~{sweeps} "
+            f"sweeps (> max_sweeps={max_sweeps}) at T={t_len}, "
+            f"ess_threshold={ess_threshold}: use resampler='rejection' "
+            "(unbiased, same memory profile), the XLA bank, or "
+            "parallel.sharded_pf instead")
+    return sweeps
+
+
 __all__ = ["compensated_cdf", "select_leaves_dense",
-           "metropolis_select_leaves"]
+           "metropolis_select_leaves", "rejection_select_leaves",
+           "metropolis_bias_estimate", "metropolis_sweeps_for"]

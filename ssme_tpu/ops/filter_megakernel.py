@@ -54,7 +54,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
-from ssme_tpu.ops._select import (metropolis_select_leaves,
+from ssme_tpu.ops._select import (metropolis_bias_estimate,
+                                  metropolis_select_leaves,
+                                  metropolis_sweeps_for,
+                                  rejection_select_leaves,
                                   select_leaves_dense)
 from ssme_tpu.utils import logmeanexp
 
@@ -124,7 +127,8 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                  mode: str = "bootstrap", steps_per_cell: int = 1,
                  num_tiles: int = 1, num_steps: int = 0,
                  substep_regions: bool = False,
-                 resampler: str = "systematic", metropolis_iters: int = 16):
+                 resampler: str = "systematic", metropolis_iters: int = 16,
+                 return_cloud: bool = False):
     n = num_particles
     n_leaves = kmodel.num_state
     k_steps = steps_per_cell
@@ -142,7 +146,12 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             lt_ref = None
             out_ref, *rest = refs
         fmean_refs = rest[:n_fns]
-        scratch = rest[n_fns:]
+        rest = rest[n_fns:]
+        if return_cloud:
+            cloud_refs = rest[:n_leaves]
+            cloud_lw_ref = rest[n_leaves]
+            rest = rest[n_leaves + 1:]
+        scratch = rest
         state_scr = scratch[:n_leaves]
         lw_scr = scratch[n_leaves]      # carried max-normalized log-wts
         carry_scr = scratch[n_leaves + 1]   # LSE(lw_scr) in every lane
@@ -181,14 +190,22 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 
             "metropolis": O(n log n) roll-based Metropolis chains
             (``_select.metropolis_select_leaves``) — no (n, n)
-            residents, so it lifts the VMEM particle cap; small
-            documented ancestor-law bias (docs/kernels.md)."""
+            residents, so it lifts the VMEM particle cap; finite-sweep
+            ancestor-law bias (docs/kernels.md table).
+
+            "rejection": roll-based rejection resampler
+            (``_select.rejection_select_leaves``) — no (n, n)
+            residents either, and UNBIASED (runs to termination;
+            data-dependent sweep count)."""
             if use_lt:
                 u0 = _prng.uniform_offset((TILE_B, 1))       # (8, 1)
                 return select_leaves_dense(w, leaves, u0, lt_ref[:])
-            return metropolis_select_leaves(
-                w, leaves, pltpu.prng_random_bits,
-                num_iters=metropolis_iters)
+            if resampler == "metropolis":
+                return metropolis_select_leaves(
+                    w, leaves, pltpu.prng_random_bits,
+                    num_iters=metropolis_iters)
+            return rejection_select_leaves(
+                w, leaves, pltpu.prng_random_bits)
 
         def stage_outputs(t, lcl, fmeans):
             # stage into the revisited (8, 128) output blocks (flushed
@@ -346,6 +363,18 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                         apf_step(t, y, z)
                 else:
                     apf_step(t, y, z)
+            if return_cloud:
+                # final-cloud export (Swarm::simFutureObs bridge,
+                # pswarm_filter.h:247-253): copy the particle state and
+                # carried log-weights exactly after the LAST REAL step —
+                # correct in straight-line mode too, where padded
+                # substeps past t_len would otherwise keep advancing
+                # the state through zero observations
+                @pl.when(t == num_steps - 1)
+                def _():
+                    for leaf in range(n_leaves):
+                        cloud_refs[leaf][:] = state_scr[leaf][:]
+                    cloud_lw_ref[:] = lw_scr[:]
 
     return kernel
 
@@ -355,13 +384,15 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                                              "mode", "steps_per_cell",
                                              "substep_regions",
                                              "resampler",
-                                             "metropolis_iters"))
+                                             "metropolis_iters",
+                                             "return_cloud"))
 def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                       num_particles: int = 512, interpret: bool = False,
                       ess_threshold: float = 1.0, mode: str = "bootstrap",
                       steps_per_cell: int = 8, substep_regions=None,
                       resampler: str = "systematic",
-                      metropolis_iters: int = 16):
+                      metropolis_iters: int = 16,
+                      return_cloud: bool = False):
     """Run B whole-sequence particle filters in one ``pallas_call``.
 
     seed: int32 scalar or a ``jax.random`` key (see ``_prng.tile_seeds``);
@@ -388,8 +419,18 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     resampler: "systematic" (dense MXU selector, the default; particle
     cap :data:`MAX_KERNEL_PARTICLES`) or "metropolis" (O(n log n)
     roll-based chains, power-of-two n up to
-    :data:`MAX_METROPOLIS_PARTICLES`; small documented ancestor-law
-    bias — docs/kernels.md).
+    :data:`MAX_METROPOLIS_PARTICLES`; finite-sweep ancestor-law bias,
+    measured schedule/sweep-dependent up to several nats of evidence —
+    see the table in docs/kernels.md before using it anywhere the
+    evidence feeds an accept ratio).
+
+    return_cloud: also return the FINAL particle cloud — appends
+    ``(cloud, cloud_log_weights)`` to the result tuple, where ``cloud``
+    is a tuple of ``num_state`` ``(B, n)`` arrays (the state exactly
+    after the last observation) and ``cloud_log_weights`` is ``(B, n)``
+    max-normalized carried log-weights.  This is the
+    ``Swarm::simFutureObs`` bridge (``pswarm_filter.h:247-253``): feed
+    it to :func:`ssme_tpu.inference.swarm.forecast_from_cloud`.
     """
     ys = jnp.asarray(ys, jnp.float32).reshape(-1, kmodel.dim_obs)
     t_len = ys.shape[0]
@@ -414,7 +455,7 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
         raise ValueError(f"B={b} must be a multiple of {TILE_B}")
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
-    if resampler not in ("systematic", "metropolis"):
+    if resampler not in ("systematic", "metropolis", "rejection"):
         raise ValueError(f"unknown resampler {resampler!r}")
     use_lt = resampler == "systematic"
     if use_lt and n > MAX_KERNEL_PARTICLES:
@@ -422,16 +463,23 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
             f"num_particles={n}: the resident (n, n) CDF matrix and the "
             f"selector's one-hot transients exceed scoped VMEM above "
             f"{MAX_KERNEL_PARTICLES} (measured on v5e). Use "
-            "resampler='metropolis' (documented small bias, cap "
-            f"{MAX_METROPOLIS_PARTICLES}), the XLA path "
+            "resampler='metropolis' (schedule/sweep-dependent evidence "
+            "bias, measured up to several nats — see the bias table in "
+            f"docs/kernels.md; cap {MAX_METROPOLIS_PARTICLES}), the XLA "
+            "path "
             "(filters.BootstrapFilter, or megakernel_log_like's "
             "automatic dispatch via model=), or shard the particle axis "
             "(parallel.sharded_pf).")
     if not use_lt and n > MAX_METROPOLIS_PARTICLES:
         raise ValueError(
-            f"num_particles={n} exceeds the measured metropolis cap "
-            f"{MAX_METROPOLIS_PARTICLES}; use the XLA path or "
-            "parallel.sharded_pf")
+            f"num_particles={n} exceeds the measured roll-resampler cap "
+            f"{MAX_METROPOLIS_PARTICLES} ({resampler}); use the XLA "
+            "path or parallel.sharded_pf")
+    if not use_lt and (n & (n - 1)):
+        raise ValueError(
+            f"num_particles={n}: resampler='metropolis' needs a "
+            "power-of-two particle count (its roll decomposition masks "
+            "the shift to [0, n))")
     if params.shape[1] != kmodel.num_params:
         raise ValueError(f"params rows must have {kmodel.num_params} cols")
     if mode not in ("bootstrap", "apf"):
@@ -469,36 +517,51 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                                      memory_space=pltpu.VMEM))
         inputs.append(jnp.asarray(np.tril(np.ones((n, n), np.float32)).T))
 
+    n_cloud = (kmodel.num_state + 1) if return_cloud else 0
     outs = pl.pallas_call(
         _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps,
                      b // TILE_B, t_len, bool(substep_regions),
-                     resampler, int(metropolis_iters)),
+                     resampler, int(metropolis_iters), bool(return_cloud)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(b // TILE_B, t_cells),
             in_specs=in_specs,
-            out_specs=[
+            out_specs=([
                 pl.BlockSpec((TILE_B, 128),
                              lambda i, t, *_: (i, (t * k_steps) // 128),
                              memory_space=pltpu.VMEM)
                 for _ in range(1 + n_fns)      # lcl + one per functional
-            ],
+            ] + [
+                # final-cloud exports: one (TILE_B, n) block per tile,
+                # revisited across all t cells, written at the last
+                # real step and flushed once per tile
+                pl.BlockSpec((TILE_B, n), lambda i, t, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_cloud)
+            ]),
             scratch_shapes=(
                 [pltpu.VMEM((TILE_B, n), jnp.float32)
                  for _ in range(kmodel.num_state)]
                 + [pltpu.VMEM((TILE_B, n), jnp.float32),     # log-weights
                    pltpu.VMEM((TILE_B, 128), jnp.float32)]),  # LSE carry
         ),
-        out_shape=[
+        out_shape=([
             jax.ShapeDtypeStruct((b, t_pad), jnp.float32)
             for _ in range(1 + n_fns)
-        ],
+        ] + [
+            jax.ShapeDtypeStruct((b, n), jnp.float32)
+            for _ in range(n_cloud)
+        ]),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, ys, zs, *inputs)
     lcls = outs[0][:, :t_len]
-    fmeans = tuple(f[:, :t_len] for f in outs[1:])
+    fmeans = tuple(f[:, :t_len] for f in outs[1:1 + n_fns])
     if n_fns == 1:
         fmeans = fmeans[0]
+    if return_cloud:
+        cloud = tuple(outs[1 + n_fns:1 + n_fns + kmodel.num_state])
+        cloud_lw = outs[1 + n_fns + kmodel.num_state]
+        return jnp.sum(lcls, axis=-1), lcls, fmeans, cloud, cloud_lw
     return jnp.sum(lcls, axis=-1), lcls, fmeans
 
 
@@ -507,7 +570,8 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                         ess_threshold: float = 0.5, model=None,
                         interpret: bool = False,
                         resampler: str = "systematic",
-                        metropolis_iters: int = 16):
+                        metropolis_iters: int = None,
+                        metropolis_bias_budget: float = 0.5):
     """PMMH ``batched_log_like`` hook for any kernel model: all chains x
     replicates in one launch, per-chain log-mean-exp over replicates
     (``thread_pool.h:259-273`` semantics).
@@ -523,11 +587,26 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
     same statistical config — PMMH code needs no changes when the cloud
     outgrows VMEM.  (The generic path consumes the PMMH parameter
     vector directly; ``constrain`` is kernel-row plumbing and ignored.)
+
+    PMMH caveat for ``resampler="metropolis"``: the finite-sweep
+    ancestor law biases the evidence estimator (measured up to several
+    nats depending on schedule and ``metropolis_iters`` — table in
+    docs/kernels.md), and the bias is theta-dependent, so it distorts
+    the pseudo-marginal POSTERIOR itself, not just its variance.  This
+    hook is therefore SAFE-BY-CONSTRUCTION (VERDICT r4 item 6): with
+    ``metropolis_iters=None`` (the default) the sweep count is derived
+    per call from the measured bias envelope so the predicted evidence
+    bias stays within ``metropolis_bias_budget`` nats
+    (``_select.metropolis_sweeps_for`` — raises when no sweep count
+    can meet the budget); an EXPLICIT ``metropolis_iters`` whose
+    predicted bias exceeds the budget emits a UserWarning with the
+    numbers.  ``resampler="rejection"`` needs none of this — it is
+    unbiased at the same memory profile.
     """
     r = num_replicates
 
-    cap = (MAX_METROPOLIS_PARTICLES if resampler == "metropolis"
-           else MAX_KERNEL_PARTICLES)
+    cap = (MAX_KERNEL_PARTICLES if resampler == "systematic"
+           else MAX_METROPOLIS_PARTICLES)
     if num_particles > cap:
         if model is None:
             raise ValueError(
@@ -535,8 +614,11 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                 f"cap ({cap}); pass the matching "
                 "StateSpaceModel as model= to dispatch to the generic "
                 "XLA path, use resampler='metropolis' (cap "
-                f"{MAX_METROPOLIS_PARTICLES}, documented bias), or "
-                "shard the particle axis (parallel.sharded_pf)")
+                f"{MAX_METROPOLIS_PARTICLES}; schedule/sweep-dependent "
+                "evidence bias per docs/kernels.md — theta-dependent, so "
+                "it distorts a pseudo-marginal posterior, not just its "
+                "variance), or shard the particle axis "
+                "(parallel.sharded_pf)")
         from ssme_tpu.filters.bootstrap import replicated_log_like_fn
         return replicated_log_like_fn(
             model, num_particles, r,
@@ -553,12 +635,36 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
         batch = jnp.repeat(p, r, axis=0)
         pad = jnp.broadcast_to(p[:1], (b - b_needed, p.shape[1]))
         batch = jnp.concatenate([batch, pad], axis=0)
+        eff_iters = metropolis_iters
+        if resampler == "metropolis":
+            t_len = int(ys.shape[0])        # static under jit
+            if eff_iters is None:
+                eff_iters = metropolis_sweeps_for(
+                    metropolis_bias_budget, t_len, ess_threshold)
+            else:
+                est = metropolis_bias_estimate(eff_iters, t_len,
+                                               ess_threshold)
+                if est > metropolis_bias_budget:
+                    import warnings
+                    warnings.warn(
+                        f"metropolis_iters={eff_iters} predicts "
+                        f"~{est:.2f} nats of theta-dependent evidence "
+                        f"bias at T={t_len} (budget "
+                        f"{metropolis_bias_budget}); a biased evidence "
+                        "distorts the pseudo-marginal posterior — use "
+                        f"metropolis_iters="
+                        f"{metropolis_sweeps_for(metropolis_bias_budget, t_len, ess_threshold, max_sweeps=1 << 20)}"
+                        ", resampler='rejection' (unbiased), or raise "
+                        "the budget deliberately (docs/kernels.md)",
+                        stacklevel=2)
+        elif eff_iters is None:
+            eff_iters = 16
         vals, _, _ = filter_megakernel(kmodel, key, batch, ys, zs,
                                        num_particles=num_particles,
                                        ess_threshold=ess_threshold,
                                        interpret=interpret,
                                        resampler=resampler,
-                                       metropolis_iters=metropolis_iters)
+                                       metropolis_iters=int(eff_iters))
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll
@@ -567,7 +673,8 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
 def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
                               zs=None, num_particles: int = 512,
                               ess_threshold: float = 1.0,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              return_cloud: bool = False):
     """Swarm conditional evidence for any kernel model: one filter per
     parameter draw, per-step aggregation across models
     (``pswarm_filter.h:86-160`` semantics; cf.
@@ -576,27 +683,40 @@ def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
     ``functional_paths`` carries one swarm-averaged (T,) path PER
     functional in the model's ``functionals`` vector
     (``pf_base::getExpectations`` driven at ``pswarm_filter.h:86-92``);
-    ``functional_path`` remains the first for the common scalar case."""
+    ``functional_path`` remains the first for the common scalar case.
+
+    ``return_cloud``: include each model's FINAL particle cloud in the
+    result — ``final_cloud`` (tuple of ``num_state`` ``(M, n)`` arrays)
+    and ``final_log_weights`` ``(M, n)`` — the kernel-speed input to
+    ``Swarm::simFutureObs`` forecasting
+    (:func:`ssme_tpu.inference.swarm.forecast_from_cloud`)."""
     p = jnp.asarray(param_draws, jnp.float32)
     m_models = p.shape[0]
     b = ((m_models + TILE_B - 1) // TILE_B) * TILE_B
     pad = jnp.broadcast_to(p[:1], (b - m_models, p.shape[1]))
     batch = jnp.concatenate([p, pad], axis=0)
-    _, lcls, fmeans = filter_megakernel(kmodel, seed, batch, ys, zs,
-                                        num_particles=num_particles,
-                                        ess_threshold=ess_threshold,
-                                        interpret=interpret)
+    outs = filter_megakernel(kmodel, seed, batch, ys, zs,
+                             num_particles=num_particles,
+                             ess_threshold=ess_threshold,
+                             interpret=interpret,
+                             return_cloud=return_cloud)
+    _, lcls, fmeans = outs[:3]
     lcls = lcls[:m_models]
     if not isinstance(fmeans, tuple):
         fmeans = (fmeans,)
     paths = tuple(jnp.mean(f[:m_models], axis=0) for f in fmeans)
-    return {
+    result = {
         "log_cond_like": logmeanexp(lcls, axis=0),
         "mean_log_cond_like": jnp.mean(lcls, axis=0),
         "per_model_log_cond_likes": lcls,
         "functional_path": paths[0],
         "functional_paths": paths,
     }
+    if return_cloud:
+        cloud, cloud_lw = outs[3], outs[4]
+        result["final_cloud"] = tuple(c[:m_models] for c in cloud)
+        result["final_log_weights"] = cloud_lw[:m_models]
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -862,6 +982,7 @@ def svol_t_param_rows(params):
 
 
 __all__ = ["KernelModel", "filter_megakernel", "megakernel_log_like",
+           "metropolis_bias_estimate", "metropolis_sweeps_for",
            "megakernel_swarm_evidence", "svol_kernel_model",
            "svol_leverage_kernel_model", "factor_svol_kernel_model",
            "poisson_ar_kernel_model", "poisson_obs_rows",

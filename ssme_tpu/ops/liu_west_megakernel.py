@@ -65,7 +65,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssme_tpu.ops import _prng
-from ssme_tpu.ops._select import compensated_cdf, metropolis_select_leaves
+from ssme_tpu.ops._select import (compensated_cdf,
+                                  metropolis_select_leaves,
+                                  rejection_select_leaves)
 
 TILE = 8
 _EPS_CHOL = 1e-9
@@ -301,9 +303,16 @@ def _build_kernel(kmodel: LWKernelModel, num_particles, num_steps,
             if use_lt:
                 u0 = _prng.uniform_offset((1, 1))[0, 0]
                 return select_matmul(weights_row, u0, src)
-            (picked,) = metropolis_select_leaves(
-                weights_row, [src], pltpu.prng_random_bits,
-                num_iters=metropolis_iters)
+            if resampler == "metropolis":
+                (picked,) = metropolis_select_leaves(
+                    weights_row, [src], pltpu.prng_random_bits,
+                    num_iters=metropolis_iters)
+                return picked
+            # rejection: same per-LANE mask broadcast over channel
+            # rows, UNBIASED (runs to termination;
+            # _select.rejection_select_leaves)
+            (picked,) = rejection_select_leaves(
+                weights_row, [src], pltpu.prng_random_bits)
             return picked
 
         def store_maybe_resampled(t, tile, lw_row):
@@ -529,15 +538,16 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
     n = num_particles
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
-    if resampler not in ("systematic", "metropolis"):
+    if resampler not in ("systematic", "metropolis", "rejection"):
         raise ValueError(f"unknown resampler {resampler!r}")
     use_lt = resampler == "systematic"
     if use_lt and n > MAX_LW_KERNEL_PARTICLES:
         raise ValueError(
             f"num_particles={n}: the in-VMEM lower-triangular CDF matrix "
             f"is n^2 floats; above {MAX_LW_KERNEL_PARTICLES} it exceeds "
-            "scoped VMEM. Use resampler='metropolis' (documented small "
-            f"bias, cap {MAX_LW_METROPOLIS_PARTICLES}), the XLA path "
+            "scoped VMEM. Use resampler='metropolis' (schedule/sweep-"
+            "dependent evidence bias per the docs/kernels.md table, cap "
+            f"{MAX_LW_METROPOLIS_PARTICLES}), the XLA path "
             "(filters.LiuWestFilter), or shard the particle axis "
             "(parallel.sharded_lw).")
     if not use_lt and n > MAX_LW_METROPOLIS_PARTICLES:
@@ -545,6 +555,11 @@ def lw_megakernel(kmodel: LWKernelModel, seed, ys, zs=None,
             f"num_particles={n} exceeds the metropolis cap "
             f"{MAX_LW_METROPOLIS_PARTICLES}; use filters.LiuWestFilter "
             "or parallel.sharded_lw")
+    if not use_lt and (n & (n - 1)):
+        raise ValueError(
+            f"num_particles={n}: resampler='metropolis' needs a "
+            "power-of-two particle count (its roll decomposition masks "
+            "the shift to [0, n))")
     if kmodel.tile_rows > 128:
         raise ValueError("num_state + 1 + num_params must fit in 128 "
                          "tile rows")

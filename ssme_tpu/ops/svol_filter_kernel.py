@@ -45,6 +45,7 @@ from ssme_tpu.ops._prng import (HALF_LOG_2PI as _HALF_LOG_2PI,
                                 uniform_bits as _uniform_bits,
                                 uniform_offset as _uniform_offset)
 from ssme_tpu.ops._select import (metropolis_select_leaves,
+                                  rejection_select_leaves,
                                   select_leaves_dense)
 from ssme_tpu.utils import logmeanexp
 
@@ -54,12 +55,14 @@ TILE_B = 8
 def _make_kernel(num_particles: int, ess_frac: float,
                  steps_per_cell: int = 1, num_tiles: int = 1,
                  num_steps: int = 0, substep_regions: bool = False,
-                 resampler: str = "systematic", metropolis_iters: int = 16):
+                 resampler: str = "systematic", metropolis_iters: int = 16,
+                 gate_stride: int = 1):
     n = num_particles
     k_steps = steps_per_cell
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
     use_lt = resampler == "systematic"
+    g = int(gate_stride)
 
     def kernel(seed_ref, ys_ref, params_ref, *refs):
         if use_lt:
@@ -97,13 +100,19 @@ def _make_kernel(num_particles: int, ess_frac: float,
                     u0 = _uniform_offset((TILE_B, 1))         # (8, 1)
                     (picked,) = select_leaves_dense(w, [x_scr[:]], u0,
                                                     lt_ref[:])
-                else:
+                elif resampler == "metropolis":
                     # O(n log n) gather-free Metropolis chains (see
                     # _select.metropolis_select_leaves) — no CDF, no
                     # (n, n) matrices, so no MXU and no n^2 VMEM
                     (picked,) = metropolis_select_leaves(
                         w, [x_scr[:]], pltpu.prng_random_bits,
                         num_iters=metropolis_iters)
+                else:
+                    # roll-based REJECTION resampler: same O(n) memory
+                    # profile, UNBIASED (runs to termination; see
+                    # _select.rejection_select_leaves)
+                    (picked,) = rejection_select_leaves(
+                        w, [x_scr[:]], pltpu.prng_random_bits)
                 x_scr[:] = picked
                 # weights reset to uniform: log W = 0, LSE = log n
                 lw_scr[:] = jnp.zeros_like(lw_scr)
@@ -157,14 +166,80 @@ def _make_kernel(num_particles: int, ess_frac: float,
             # flushes on change.  Mosaic cannot store a single dynamic
             # lane column, so write the whole block through a lane mask
             # (zeroing at col 0 covers the final partial block's pad).
+            stage_outputs(t, lcl, xmean)
+
+        def stage_outputs(t, lcl, xmean):
+            # stage into the current (8, 128) output blocks; pallas
+            # keeps a block in VMEM while (t*K)//128 is unchanged and
+            # flushes on change.  Mosaic cannot store a single dynamic
+            # lane column, so write the whole block through a lane mask.
+            # Freshness rule: zero the block at its FIRST write — with
+            # gate_stride g, writes land at cols ≡ g-1 (mod g) plus a
+            # possible tail check at t == T-1, so the first write of a
+            # 128-block always has col < g (g divides 128); at g == 1
+            # this is the original col == 0 rule, bit-compatibly.
             col = jax.lax.rem(t, 128)
             lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
-            base = jnp.where(col == 0, jnp.zeros_like(out_ref),
+            base = jnp.where(col < g, jnp.zeros_like(out_ref),
                              out_ref[:])
             out_ref[:] = jnp.where(lane == col, lcl, base)
-            base_x = jnp.where(col == 0, jnp.zeros_like(xmean_ref),
+            base_x = jnp.where(col < g, jnp.zeros_like(xmean_ref),
                                xmean_ref[:])
             xmean_ref[:] = jnp.where(lane == col, xmean, base_x)
+
+        # ---- gate_stride > 1: the transcendental-ceiling lever -------
+        # (VERDICT r5 work item; docs/kernels.md "Roofline"): between
+        # ESS checks the carried log-weights ACCUMULATE un-renormalized
+        # — no per-step exp(lw)/LSE pass — cutting the per-propagation
+        # transcendental count from 4 to 3 + 1/g.  At a check the block
+        # lcl is the same telescoping ratio LSE(lw_new) - LSE(lw_old),
+        # so sum(outputs) is EXACTLY the evidence for any stride; the
+        # per-step decomposition coarsens to per-check columns (zeros
+        # elsewhere) and the filtered-mean path is emitted at checks
+        # only.  The ESS gate fires at most g-1 steps late — a valid
+        # adapted schedule, evidence stays unbiased.
+
+        def propagate_only():
+            x_scr[:] = phi * x_scr[:] + sigma * _normal_bits((TILE_B, n))
+
+        def accumulate_weight(t):
+            y = ys_ref[t]
+            x = x_scr[:]
+            zval = (y / beta) * jnp.exp(-0.5 * x)
+            lw_scr[:] = (lw_scr[:] + (-_HALF_LOG_2PI - jnp.log(beta))
+                         - 0.5 * x - 0.5 * zval * zval)
+
+        def check_and_stage(t):
+            lw = lw_scr[:]
+            x = x_scr[:]
+            m = jnp.max(lw, axis=-1, keepdims=True)
+            wnorm = jnp.exp(lw - m)
+            s = jnp.sum(wnorm, axis=-1, keepdims=True)
+            lcl = (m + jnp.log(s)) - carry_scr[:, 0:1]
+            xmean = jnp.sum(x * wnorm, axis=-1, keepdims=True) / s
+            stage_outputs(t, lcl, xmean)
+            # renormalize, then let the gate overwrite on fire
+            lw_scr[:] = lw - m
+            carry_scr[:] = jnp.broadcast_to(jnp.log(s), carry_scr.shape)
+
+            def resample():
+                if use_lt:
+                    u0 = _uniform_offset((TILE_B, 1))
+                    (picked,) = select_leaves_dense(wnorm, [x_scr[:]], u0,
+                                                    lt_ref[:])
+                elif resampler == "metropolis":
+                    (picked,) = metropolis_select_leaves(
+                        wnorm, [x_scr[:]], pltpu.prng_random_bits,
+                        num_iters=metropolis_iters)
+                else:
+                    (picked,) = rejection_select_leaves(
+                        wnorm, [x_scr[:]], pltpu.prng_random_bits)
+                x_scr[:] = picked
+                lw_scr[:] = jnp.zeros_like(lw_scr)
+                carry_scr[:] = jnp.full_like(carry_scr, log_n)
+
+            s2 = jnp.sum(wnorm * wnorm, axis=-1, keepdims=True)
+            pl.when(jnp.min(s * s / s2) < ess_frac * n)(resample)
 
         # K time steps per grid cell: amortizes the fixed per-cell
         # overhead (~0.8us measured), which dominates non-resampling
@@ -182,6 +257,8 @@ def _make_kernel(num_particles: int, ess_frac: float,
         # and its outputs are sliced away anyway).
         for k in range(k_steps):
             t = tc * k_steps + k
+            advance = (maybe_resample_and_propagate if g == 1
+                       else propagate_only)
             if k == 0:
                 @pl.when(tc == 0)
                 def _():
@@ -189,12 +266,22 @@ def _make_kernel(num_particles: int, ess_frac: float,
 
                 @pl.when(tc > 0)
                 def _():
-                    maybe_resample_and_propagate()
+                    advance()
             elif substep_regions:
-                pl.when(t < num_steps)(maybe_resample_and_propagate)
+                pl.when(t < num_steps)(advance)
             else:
-                maybe_resample_and_propagate()
-            weight_and_stage(t)
+                advance()
+            if g == 1:
+                weight_and_stage(t)
+            else:
+                accumulate_weight(t)
+                if k % g == g - 1:
+                    check_and_stage(t)
+                else:
+                    # ragged tail: the final real step always checks so
+                    # the staged lcls telescope to the full evidence
+                    pl.when(t == num_steps - 1)(
+                        functools.partial(check_and_stage, t))
 
     return kernel
 
@@ -204,11 +291,12 @@ def _make_kernel(num_particles: int, ess_frac: float,
                                              "steps_per_cell",
                                              "substep_regions",
                                              "resampler",
-                                             "metropolis_iters"))
+                                             "metropolis_iters",
+                                             "gate_stride"))
 def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
                        ess_threshold=1.0, steps_per_cell=8,
                        substep_regions=None, resampler="systematic",
-                       metropolis_iters=16):
+                       metropolis_iters=16, gate_stride=1):
     """Full-sequence SVOL bootstrap filtering for B filters at once.
 
     seed: int32 scalar or a ``jax.random`` key (the PMMH hooks pass
@@ -230,15 +318,35 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     see the kernel-body comment).  Default None = auto: straight-line
     at n <= 512, regions above (n=1024 parity needs them).
 
-    resampler: "systematic" (dense MXU one-hot selection, the default)
-    or "metropolis" (O(n log n) roll-based Metropolis chains — no
-    (n, n) matrices, so it lifts the dense form's VMEM particle cap;
-    slightly biased ancestor law at finite ``metropolis_iters``, see
+    resampler: "systematic" (dense MXU one-hot selection, the default),
+    "metropolis" (O(n log n) roll-based Metropolis chains — no (n, n)
+    matrices, so it lifts the dense form's VMEM particle cap; biased
+    ancestor law at finite ``metropolis_iters``, see
     ``_select.metropolis_select_leaves`` and docs/kernels.md for the
-    measured evidence bias).
+    measured evidence bias), or "rejection" (same roll mechanics and
+    memory profile but UNBIASED — runs to termination with a
+    data-dependent sweep count, ``_select.rejection_select_leaves``).
+
+    gate_stride: run the LSE/ESS check every this many steps instead of
+    every step (must divide steps_per_cell; ESS-adaptive schedules
+    only).  Between checks the carried log-weights accumulate
+    un-renormalized — no per-step exp(lw) pass — cutting the
+    per-propagation transcendental count from 4 to 3 + 1/stride (the
+    measured roofline ceiling, docs/kernels.md).  ``sum(lcls)`` stays
+    EXACTLY the evidence (telescoping ratio at checks); the per-step
+    decomposition coarsens to per-check columns (zeros elsewhere) and
+    ``filtered_x_mean`` is emitted at check columns only.
     """
-    if resampler not in ("systematic", "metropolis"):
+    if resampler not in ("systematic", "metropolis", "rejection"):
         raise ValueError(f"unknown resampler {resampler!r}")
+    gate_stride = int(gate_stride)
+    if gate_stride < 1 or int(steps_per_cell) % gate_stride:
+        raise ValueError("gate_stride must divide steps_per_cell")
+    if gate_stride > 1 and ess_threshold >= 1.0:
+        raise ValueError(
+            "gate_stride > 1 is the ESS-adaptive transcendental lever "
+            "(weights accumulate between checks); the every-step parity "
+            "schedule requires gate_stride=1")
     ys = jnp.asarray(ys).reshape(-1).astype(jnp.float32)
     t_len = ys.shape[0]
     b = params.shape[0]
@@ -248,6 +356,11 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
         raise ValueError(f"B={b} must be a multiple of {TILE_B}")
     if n % 128:
         raise ValueError(f"num_particles={n} must be a multiple of 128")
+    if resampler != "systematic" and (n & (n - 1)):
+        raise ValueError(
+            f"num_particles={n}: resampler='metropolis' needs a "
+            "power-of-two particle count (its roll decomposition masks "
+            "the shift to [0, n))")
     if k_steps < 1 or 128 % k_steps:
         raise ValueError("steps_per_cell must divide 128")
 
@@ -275,7 +388,7 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     lcls = pl.pallas_call(
         _make_kernel(n, float(ess_threshold), k_steps, b // TILE_B,
                      t_len, bool(substep_regions), resampler,
-                     int(metropolis_iters)),
+                     int(metropolis_iters), gate_stride),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,   # seed, ys (SMEM)
             grid=(b // TILE_B, t_cells),
@@ -306,7 +419,8 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
 
 
 def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int,
-                                    ess_threshold: float = 0.5):
+                                    ess_threshold: float = 0.5,
+                                    gate_stride: int = 1):
     """PMMH likelihood hook: replicate-averaged pallas filter.
 
     Returns ``ll(key, params, ys) -> scalar`` where ``params`` is the
@@ -327,14 +441,16 @@ def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int,
         batch = jnp.broadcast_to(p, (b, 3))
         vals, _, _ = svol_filter_pallas(key, batch, ys,
                                         num_particles=num_particles,
-                                        ess_threshold=ess_threshold)
+                                        ess_threshold=ess_threshold,
+                                        gate_stride=gate_stride)
         return logmeanexp(vals[:r])
 
     return ll
 
 
 def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
-                                 ess_threshold: float = 0.5):
+                                 ess_threshold: float = 0.5,
+                                 gate_stride: int = 1):
     """PMMH ``batched_log_like`` hook: ALL chains x replicates in one
     kernel launch.
 
@@ -363,7 +479,8 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
         batch = jnp.concatenate([batch, pad], axis=0)
         vals, _, _ = svol_filter_pallas(key, batch, ys,
                                         num_particles=num_particles,
-                                        ess_threshold=ess_threshold)
+                                        ess_threshold=ess_threshold,
+                                        gate_stride=gate_stride)
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll

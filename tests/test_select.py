@@ -132,11 +132,14 @@ def test_extreme_u0_never_zeroes_an_output():
             assert np.isin(picked[r], x[r]).all()
 
 
-def _run_metropolis(w, leaves, bits, num_iters):
-    """Interpret-mode harness for the O(n) Metropolis selector with a
-    DETERMINISTIC bit stream standing in for the hardware PRNG."""
-    n = w.shape[1]
-    n_l = len(leaves)
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _metropolis_runner(b, n, n_l, num_iters):
+    """Jitted interpret-mode harness, cached by shape so repeated-trial
+    tests pay ONE trace instead of one per call (the suite-cold-start
+    audit found per-call retracing dominated; VERDICT r4 item 8)."""
 
     def kernel(w_ref, bits_ref, *refs):
         leaf_refs, out_refs = refs[:n_l], refs[n_l:]
@@ -154,13 +157,23 @@ def _run_metropolis(w, leaves, bits, num_iters):
         for o, p in zip(out_refs, picked):
             o[:] = p
 
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((w.shape[0], n), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)
                    for _ in range(n_l)],
         interpret=True,
-    )(jnp.asarray(w, jnp.float32), jnp.asarray(bits),
-      *[jnp.asarray(l, jnp.float32) for l in leaves])
+    )
+    return jax.jit(lambda w, bits, *leaves: call(w, bits, *leaves))
+
+
+def _run_metropolis(w, leaves, bits, num_iters):
+    """Interpret-mode harness for the O(n) Metropolis selector with a
+    DETERMINISTIC bit stream standing in for the hardware PRNG."""
+    n = w.shape[1]
+    n_l = len(leaves)
+    runner = _metropolis_runner(w.shape[0], n, n_l, num_iters)
+    outs = runner(jnp.asarray(w, jnp.float32), jnp.asarray(bits),
+                  *[jnp.asarray(l, jnp.float32) for l in leaves])
     return [np.asarray(o) for o in outs]
 
 
@@ -240,3 +253,114 @@ def test_compensated_cdf_error_bound():
     # interpret mode the dots run f32 so this is loose, but the bound is
     # what the kernels rely on ON HARDWARE — assert it with 4x slack
     assert (np.abs(np.asarray(cdf) - cdf64) <= 4 * 2.0**-16 * total).all()
+
+
+def _run_rejection(w, leaves, tape, max_iters):
+    """Interpret-mode harness for the rejection selector: a pre-drawn
+    bits TAPE indexed by sweep (``draw_bits_at``) stands in for the
+    per-sweep-fresh hardware PRNG (a plain stand-in would freeze the
+    stream across ``while_loop`` iterations)."""
+    from ssme_tpu.ops._select import rejection_select_leaves
+
+    b, n = w.shape
+    n_l = len(leaves)
+
+    def kernel(w_ref, tape_ref, *refs):
+        leaf_refs, out_refs = refs[:n_l], refs[n_l:]
+
+        def draw_bits_at(t, shape):
+            if shape == (1, 1):
+                return tape_ref[t, pl.dslice(0, 1)][None, :]
+            k = int(np.prod(shape))
+            return tape_ref[t, pl.dslice(1, k)].reshape(shape)
+
+        picked = rejection_select_leaves(
+            w_ref[:], [r[:] for r in leaf_refs], None,
+            max_iters=max_iters, draw_bits_at=draw_bits_at)
+        for o, p in zip(out_refs, picked):
+            o[:] = p
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, n), jnp.float32)
+                   for _ in range(n_l)],
+        interpret=True,
+    )(jnp.asarray(w, jnp.float32), jnp.asarray(tape),
+      *[jnp.asarray(l, jnp.float32) for l in leaves])
+    return [np.asarray(o) for o in outs]
+
+
+def _rejection_tape(rng, max_iters, b, n):
+    return rng.integers(-2**31, 2**31, size=(max_iters, 1 + b * n),
+                        dtype=np.int64).astype(np.int32)
+
+
+def test_rejection_offspring_counts_unbiased():
+    """The whole point of the rejection selector (VERDICT r4 item 2):
+    E[#offspring of i] = n w_i / sum w EXACTLY (identity-first
+    proposals + run-to-termination), unlike Metropolis' finite-sweep
+    bias.  Pin empirically over many independent tapes."""
+    rng = np.random.default_rng(20)
+    n, trials, iters = 128, 60, 256
+    w_row = np.linspace(0.5, 2.0, n).astype(np.float32)
+    w = np.tile(w_row, (B, 1))
+    ids = np.tile(np.arange(n, dtype=np.float32), (B, 1))
+    counts = np.zeros(n)
+    for _ in range(trials):
+        (picked,) = _run_rejection(w, [ids],
+                                   _rejection_tape(rng, iters, B, n),
+                                   iters)
+        counts += np.bincount(picked.astype(int).ravel(), minlength=n)
+    freqs = counts / counts.sum()
+    want = w_row / w_row.sum()
+    # 60 * 8 * 128 = 61440 slots; se(freq) ~ sqrt(p/61440) ~ 3.6e-4
+    np.testing.assert_allclose(freqs, want, atol=1.4e-3)
+
+
+def test_rejection_heaviest_keeps_own_slot():
+    # slot argmax(w) accepts its identity proposal with prob 1 - 2^-32
+    rng = np.random.default_rng(21)
+    n, iters = 128, 64
+    w = np.full((B, n), 0.1, np.float32)
+    w[:, 37] = 5.0
+    ids = np.tile(np.arange(n, dtype=np.float32), (B, 1))
+    for _ in range(5):
+        (picked,) = _run_rejection(w, [ids],
+                                   _rejection_tape(rng, iters, B, n),
+                                   iters)
+        assert (picked[:, 37] == 37).all()
+
+
+def test_rejection_moves_leaves_jointly_and_real_particles():
+    rng = np.random.default_rng(22)
+    n, iters = 128, 256
+    w = rng.gamma(1.0, 1.0, (B, n)).astype(np.float32)
+    ids = np.tile(np.arange(n, dtype=np.float32), (B, 1))
+    vals = rng.normal(size=(B, n)).astype(np.float32)
+    picked_ids, picked_vals = _run_rejection(
+        w, [ids, vals], _rejection_tape(rng, iters, B, n), iters)
+    for r in range(B):
+        anc = picked_ids[r].astype(int)
+        np.testing.assert_array_equal(picked_vals[r], vals[r, anc])
+        assert np.isin(picked_ids[r], ids[r]).all()
+
+
+def test_rejection_degenerate_weights_terminate():
+    """All mass on one particle: every slot must drain to it (the
+    worst-case sweep count regime — exercises run-to-termination)."""
+    rng = np.random.default_rng(23)
+    n, iters = 128, 2048
+    w = np.zeros((B, n), np.float32)
+    w[:, 100] = 1.0
+    ids = np.tile(np.arange(n, dtype=np.float32), (B, 1))
+    (picked,) = _run_rejection(w, [ids],
+                               _rejection_tape(rng, iters, B, n), iters)
+    assert (picked == 100).all()
+
+
+def test_rejection_rejects_non_power_of_two():
+    from ssme_tpu.ops._select import rejection_select_leaves
+
+    with pytest.raises(ValueError):
+        rejection_select_leaves(jnp.zeros((8, 384)), [jnp.zeros((8, 384))],
+                                lambda s: jnp.zeros(s, jnp.int32))

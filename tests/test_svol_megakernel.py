@@ -81,3 +81,56 @@ def test_swarm_evidence_pallas():
     assert out["log_cond_like"].shape == (96,)
     assert out["per_model_log_cond_likes"].shape == (12, 96)
     assert np.all(np.isfinite(np.asarray(out["log_cond_like"])))
+
+
+def test_gate_stride_sis_equivalence_interpret():
+    """gate_stride coarsens the LSE/ESS checks (the transcendental
+    lever).  With a gate that never fires, both strides run the SAME
+    pure-SIS filter, so totals must agree to renormalization rounding;
+    staged lcls must be zero off the check columns and telescope to the
+    total; a ragged tail (T % stride != 0) must still check at T-1."""
+    import numpy as np
+    from ssme_tpu.ops.svol_filter_kernel import svol_filter_pallas
+
+    params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
+    ys = 0.3 * jnp.ones(19)                  # 19 % 4 != 0: ragged tail
+    kw = dict(num_particles=128, interpret=True, steps_per_cell=8,
+              ess_threshold=1e-6)            # ESS >= 1 > 128e-6: no fire
+    tot1, lcls1, _ = svol_filter_pallas(3, params, ys, **kw)
+    tot4, lcls4, xm4 = svol_filter_pallas(3, params, ys, gate_stride=4,
+                                          **kw)
+    np.testing.assert_allclose(np.asarray(tot4), np.asarray(tot1),
+                               rtol=2e-4, atol=2e-4)
+    l4 = np.asarray(lcls4)
+    np.testing.assert_allclose(l4.sum(-1), np.asarray(tot4), rtol=1e-5)
+    # checks at t = 3, 7, 11, 15 and the tail t = 18; zeros elsewhere
+    check_cols = [3, 7, 11, 15, 18]
+    mask = np.ones(19, bool)
+    mask[check_cols] = False
+    assert np.all(l4[:, mask] == 0.0), l4[0]
+    assert np.all(l4[:, check_cols] != 0.0)
+    # block-accumulated lcls == sums of the per-step ones (same SIS run)
+    l1 = np.asarray(lcls1)
+    np.testing.assert_allclose(l4[:, 3], l1[:, :4].sum(-1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(l4[:, 18], l1[:, 16:].sum(-1),
+                               rtol=2e-4, atol=2e-4)
+    # filtered mean at a check column matches the per-step run's
+    np.testing.assert_allclose(
+        np.asarray(xm4)[:, 7],
+        np.asarray(svol_filter_pallas(3, params, ys, **kw)[2])[:, 7],
+        rtol=2e-4, atol=2e-4)
+
+
+def test_gate_stride_validation():
+    from ssme_tpu.ops.svol_filter_kernel import svol_filter_pallas
+
+    params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
+    ys = 0.3 * jnp.ones(16)
+    with pytest.raises(ValueError, match="divide steps_per_cell"):
+        svol_filter_pallas(3, params, ys, num_particles=128,
+                           interpret=True, ess_threshold=0.5,
+                           steps_per_cell=8, gate_stride=3)
+    with pytest.raises(ValueError, match="parity"):
+        svol_filter_pallas(3, params, ys, num_particles=128,
+                           interpret=True, gate_stride=4)
