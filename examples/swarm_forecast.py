@@ -81,7 +81,8 @@ def main(argv=None):
                     "engine for other sizes")
         ev = megakernel_swarm_evidence(
             km, args.seed + 1, jnp.asarray(rows), ys, zrows,
-            num_particles=args.state_particles)
+            num_particles=args.state_particles,
+            return_cloud=bool(args.forecast))
         lcl = np.asarray(ev["log_cond_like"])
         print(f"total conditional evidence: {lcl.sum():.2f} "
               f"(reference mean-of-logs aggregation: "
@@ -90,8 +91,23 @@ def main(argv=None):
         print(f"filtered state (last 5): "
               f"{np.array2string(vol[-5:], precision=3)}")
         if args.forecast:
-            print("(forecasting uses the generic engine; rerun without "
-                  "--engine pallas)", file=sys.stderr)
+            # Swarm::simFutureObs from the kernel-exported final cloud
+            # (pswarm_filter.h:247-253): equal-weight each model's cloud
+            # and run the generic future simulator over it
+            from ssme_tpu.inference import forecast_from_cloud
+            obs = forecast_from_cloud(
+                model, draws, ev["final_cloud"], ev["final_log_weights"],
+                jax.random.key(args.seed + 2), num_steps=args.forecast,
+                last_obs=(ys[-1] if model.has_covariates else None))
+            flat = np.asarray(obs)[..., 0].reshape(
+                args.param_particles, args.forecast, -1)
+            q = np.quantile(flat, [0.05, 0.5, 0.95], axis=(0, 2))
+            print(f"forecast ({args.forecast} steps, pooled over "
+                  f"{args.param_particles} models, kernel cloud):",
+                  file=sys.stderr)
+            for t in range(args.forecast):
+                print(f"  t+{t+1}: {q[0, t]:+.4f} {q[1, t]:+.4f} "
+                      f"{q[2, t]:+.4f}", file=sys.stderr)
         return
 
     sw = SwarmFilter(model, num_state_particles=args.state_particles,

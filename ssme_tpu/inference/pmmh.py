@@ -41,16 +41,24 @@ from ssme_tpu.filters.bootstrap import log_likelihood_fn
 from ssme_tpu.models.base import StateSpaceModel
 from ssme_tpu.utils import logmeanexp
 
-# Longest validated single-`lax.scan` iteration count for one device
-# execution on the tunneled v5e rig: a 1000-iteration PMMH scan in ONE
-# jit at C=64 x R=4 kernel rows reproducibly killed the TPU worker,
-# while 500-iteration chunks run indefinitely (round-4 post-mortem;
-# examples/probe_crash.py -> data/probe_crash.jsonl re-measures it).
-# ``run``/``run_from`` transparently split longer requests into
-# host-level chunks of at most this many iterations — the reference
-# runs any ``num_mcmc_iters`` without crashing
-# (``ada_pmmh_mvn.h:326-372``) and so must we.
-MAX_SCAN_ITERS = 500
+# Longest GUARDED single-`lax.scan` iteration count per device
+# execution on the tunneled v5e rig.  Round-5 bisection
+# (examples/probe_crash.py -> data/probe_crash.jsonl, 2026-08-21):
+# scans of 500/750/1000 iterations at C=64 x R=4 kernel rows kill the
+# TPU worker AT RUN TIME (compiles always succeed, including 1000
+# iters); 100/250/400-iteration scans run clean (250 reproduced twice
+# here and hundreds of times as sample()'s chunk size).  The mechanism
+# is consistent with per-launch bookkeeping accumulating within one
+# device execution — measured per-iteration wall time GROWS with scan
+# length (52/90/114 ms/iter at 100/250/400 iterations of the identical
+# program) until the worker dies somewhere in (400, 500] launches; it
+# is NOT a wall-clock cutoff (a 45.6 s 400-iteration execution
+# survives).  250 sits well under the boundary and matches the
+# long-validated sample() chunk.  ``run``/``run_from`` transparently
+# split longer requests into host-level chunks of at most this many
+# iterations — the reference runs any ``num_mcmc_iters`` without
+# crashing (``ada_pmmh_mvn.h:326-372``) and so must we.
+MAX_SCAN_ITERS = 250
 
 
 class PMMHState(NamedTuple):

@@ -204,4 +204,48 @@ class SwarmFilter:
         )(keys, state.params, state.particles)
 
 
-__all__ = ["SwarmFilter", "SwarmResult", "SwarmState"]
+def forecast_from_cloud(model: StateSpaceModel, param_draws, cloud,
+                        cloud_log_weights, key, num_steps,
+                        feedback_obs_as_cov=None, last_obs=None):
+    """``Swarm::simFutureObs`` (``pswarm_filter.h:247-253``) driven from a
+    megakernel-exported final cloud.
+
+    The kernel-speed swarm path
+    (:func:`ssme_tpu.ops.filter_megakernel.megakernel_swarm_evidence`
+    with ``return_cloud=True``) hands back each model's final particle
+    cloud and carried log-weights; this equal-weights the clouds (one
+    systematic resample per model — the state every reference forecast
+    starts from, since its swarm resamples every step) and runs the
+    generic future simulator over them.
+
+    ``cloud``: tuple of ``num_state`` ``(M, n)`` arrays;
+    ``cloud_log_weights``: ``(M, n)``.  Returns ``(M, num_steps, n,
+    dim_obs)`` — the reference's ``obsSamples`` indexing
+    (``pswarm_filter.h:50``).
+    """
+    from ssme_tpu import resampling
+
+    draws = jnp.asarray(param_draws)
+    m_models = draws.shape[0]
+    leaves = tuple(jnp.asarray(c) for c in cloud)
+    n = leaves[0].shape[1]
+    if feedback_obs_as_cov is None:
+        feedback_obs_as_cov = model.has_covariates
+    k_res, k_sim = jax.random.split(jnp.asarray(key) if hasattr(key, "dtype")
+                                    else jax.random.key(key))
+    idx = jax.vmap(resampling.systematic_indices)(
+        jax.random.split(k_res, m_models),
+        jnp.asarray(cloud_log_weights))                      # (M, n)
+    particles = jnp.stack(
+        [jnp.take_along_axis(leaf, idx, axis=1) for leaf in leaves],
+        axis=-1)                                             # (M, n, S)
+    bf = BootstrapFilter(model, num_particles=n)
+    return jax.vmap(
+        lambda k, params, parts: bf.sim_future_obs(
+            k, params, parts, num_steps,
+            feedback_obs_as_cov=feedback_obs_as_cov, last_obs=last_obs)
+    )(jax.random.split(k_sim, m_models), draws, particles)
+
+
+__all__ = ["SwarmFilter", "SwarmResult", "SwarmState",
+           "forecast_from_cloud"]
