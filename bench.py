@@ -69,7 +69,7 @@ def _time_best(run, state, windows=2):
 
 
 def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
-             ys, ess_threshold, windows=2):
+             ys, ess_threshold, windows=2, gate_stride=1):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +81,8 @@ def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
         from ssme_tpu.ops.svol_filter_kernel import (
             svol_pallas_batched_log_like)
         batched_ll = svol_pallas_batched_log_like(
-            num_particles, num_replicates, ess_threshold=ess_threshold)
+            num_particles, num_replicates, ess_threshold=ess_threshold,
+            gate_stride=(gate_stride if ess_threshold < 1.0 else 1))
     else:
         # generic XLA filter bank with the SAME schedule semantics:
         # ess_threshold must reach this path too, or the "adaptive"
@@ -125,12 +126,13 @@ def _worker():
     num_replicates = int(os.environ.get("BENCH_REPLICATES", 16))
     num_chains = int(os.environ.get("BENCH_CHAINS", 8))
     num_iters = int(os.environ.get("BENCH_ITERS", 30))
+    gate_stride = int(os.environ.get("BENCH_GATE_STRIDE", 1))
 
     data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "data", "spy_returns.csv")
     ys = jnp.asarray(read_data(data_path, num_cols=1))
     elapsed = _measure(impl, num_particles, num_replicates, num_chains,
-                       num_iters, ys, ess)
+                       num_iters, ys, ess, gate_stride=gate_stride)
     print(json.dumps({"elapsed": elapsed, "impl": impl,
                       "t_len": int(ys.shape[0]),
                       "devices": max(1, len(jax.devices()))}))

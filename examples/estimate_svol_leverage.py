@@ -48,7 +48,19 @@ def main(argv=None):
     p.add_argument("--engine", choices=["generic", "pallas"],
                    default="generic")
     p.add_argument("--out", default=None)
+    p.add_argument("--burn", type=int, default=500)
+    p.add_argument("--tuned", action="store_true",
+                   help="measured leverage preset (VERDICT r4 item 4): "
+                        "C=64 chains, R=2 replicates (Doucet-Pitt "
+                        "variance band at N=512 — data/probe_resampler"
+                        ".jsonl leverage baseline), continuous "
+                        "adaptation with a warm restart after burn-in "
+                        "(AdaptivePMMH.reset_adaptation — the fix that "
+                        "took univ-SVOL from 2.3%% to 10.8%% accept)")
     args = p.parse_args(argv)
+    if args.tuned:
+        args.chains = max(args.chains, 64)
+        args.replicates = 2
 
     from ssme_tpu.diagnostics import summarize
     from ssme_tpu.inference import AdaptivePMMH
@@ -98,27 +110,36 @@ def main(argv=None):
 
     state = pmmh.init(jax.random.key(args.seed), start, ys, zs=zs,
                       num_chains=args.chains)
-    run = jax.jit(lambda st: pmmh.run_from(st, 500, ys, zs=zs))
-    chunks = []
+    # run_from self-chunks above MAX_SCAN_ITERS (the worker-crash
+    # guard) — no manual 500-iteration jit loop needed
+    burn = min(args.burn, args.iters)
     t0 = time.perf_counter()
-    done = 0
-    while done < args.iters:
-        res = run(state)
+    res_burn = pmmh.run_from(state, burn, ys, zs=zs)
+    state = res_burn.final_state
+    print(f"burn-in {burn} accept={float(state.accept_ma.mean()):.3f}",
+          file=sys.stderr, flush=True)
+    if args.tuned:
+        # warm restart: drop the cold-start trajectory from the Haario
+        # moments (it never forgets otherwise); keeps position + Ct
+        state = AdaptivePMMH.reset_adaptation(state)
+    chunks = [np.asarray(res_burn.samples)]
+    if args.iters > burn:
+        res = pmmh.run_from(state, args.iters - burn, ys, zs=zs)
         state = res.final_state
         chunks.append(np.asarray(res.samples))
-        done += 500
-        print(f"iter {done}/{args.iters} accept="
-              f"{float(state.accept_ma.mean()):.3f}",
-              file=sys.stderr, flush=True)
     secs = time.perf_counter() - t0
+    print(f"iter {args.iters}/{args.iters} accept="
+          f"{float(state.accept_ma.mean()):.3f}",
+          file=sys.stderr, flush=True)
     samples = np.concatenate(chunks)[: args.iters]
 
     names = ["phi", "mu", "sigma", "rho"]
-    stats = summarize(samples[args.iters // 4:], names=names)
+    stats = summarize(samples[max(burn, args.iters // 4):], names=names)
     out = {
         "engine": args.engine, "iters": args.iters,
         "chains": args.chains, "N": args.particles,
         "R": args.replicates, "T": int(ys.shape[0]), "secs": secs,
+        "tuned": bool(args.tuned),
         "accept": float(state.accept_ma.mean()),
         "posterior": stats,
     }

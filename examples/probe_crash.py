@@ -39,6 +39,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)   # runnable by path, incl. worker subprocesses
 
 
 # ---------------------------------------------------------------------------
@@ -87,9 +88,53 @@ def _worker():
                           "t_run": time.time() - t0, "sum": val}))
         return
 
+    if probe == "chunks":
+        # total wall clock for a FIXED 500-iteration budget at varying
+        # host-level chunk sizes: per-iteration cost grows superlinearly
+        # WITHIN one device execution (52/90/114 ms/iter at 100/250/400
+        # — see docs/kernels.md crash envelope), so smaller chunks may
+        # be faster end-to-end despite per-execution overhead.
+        from ssme_tpu.inference import AdaptivePMMH
+        from ssme_tpu.models import svol
+        from ssme_tpu.ops.svol_filter_kernel import (
+            svol_pallas_batched_log_like)
+
+        total_iters = int(os.environ.get("PROBE_TOTAL", "500"))
+        chunk = int(os.environ["PROBE_CHUNK"])
+        chains = int(os.environ.get("PROBE_CHAINS", "64"))
+        reps = int(os.environ.get("PROBE_REPS", "4"))
+        pmmh = AdaptivePMMH(
+            svol.make_model(), num_particles=512, num_replicates=reps,
+            t0=150, t1=1000,
+            batched_log_like=svol_pallas_batched_log_like(
+                512, reps, ess_threshold=ess))
+        state = pmmh.init(jax.random.key(0),
+                          jnp.asarray(svol.START_TRANS_THETA), ys,
+                          num_chains=chains)
+        fn = jax.jit(lambda st: pmmh._scan_chunk(st, chunk, ys))
+        res = fn(state)                      # compile + warm
+        state = res.final_state
+        float(jnp.sum(res.samples))
+        t0 = time.time()
+        done = 0
+        while done < total_iters:
+            res = fn(state)
+            state = res.final_state
+            done += chunk
+        val = float(jnp.sum(res.samples))    # sync
+        dt = time.time() - t0
+        print(json.dumps({"ok": val == val, "total_iters": done,
+                          "chunk": chunk, "wall": dt,
+                          "ms_per_iter": 1e3 * dt / done}))
+        return
+
     if probe == "scan":
         # one PMMH run_from scan of the requested length in ONE jit at
-        # C chains x R replicates (the flagship path).
+        # C chains x R replicates (the flagship path).  split=k runs
+        # each iteration's kernel rows as k sequential launches of
+        # rows/k (the candidate row-width guard mechanism).
+        import jax.numpy as jnp  # noqa: F811
+
         from ssme_tpu.inference import AdaptivePMMH
         from ssme_tpu.models import svol
         from ssme_tpu.ops.svol_filter_kernel import (
@@ -98,12 +143,26 @@ def _worker():
         iters = int(os.environ["PROBE_ITERS"])
         chains = int(os.environ.get("PROBE_CHAINS", "64"))
         reps = int(os.environ.get("PROBE_REPS", "4"))
+        split = int(os.environ.get("PROBE_SPLIT", "1"))
+        if split > 1:
+            base = svol_pallas_batched_log_like(512, reps,
+                                                ess_threshold=ess)
+
+            def batched_ll(key, params, ys_in):
+                import jax as _jax
+                c = params.shape[0]
+                outs = [base(_jax.random.fold_in(key, i),
+                             params[i * (c // split):
+                                    (i + 1) * (c // split)], ys_in)
+                        for i in range(split)]
+                return jnp.concatenate(outs)
+        else:
+            batched_ll = svol_pallas_batched_log_like(
+                512, reps, ess_threshold=ess)
         model = svol.make_model()
         pmmh = AdaptivePMMH(
             model, num_particles=512, num_replicates=reps,
-            t0=150, t1=1000,
-            batched_log_like=svol_pallas_batched_log_like(
-                512, reps, ess_threshold=ess))
+            t0=150, t1=1000, batched_log_like=batched_ll)
         state = pmmh.init(jax.random.key(0),
                           jnp.asarray(svol.START_TRANS_THETA), ys,
                           num_chains=chains)
@@ -157,7 +216,9 @@ def _launch(probe, phase, timeout, **cfg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--probe", choices=["rows", "scan", "all"],
+    ap.add_argument("--probe",
+                    choices=["rows", "scan", "all", "short", "all2",
+                             "chunks"],
                     default="all")
     ap.add_argument("--timeout", type=int, default=2400)
     args = ap.parse_args()
@@ -180,6 +241,27 @@ def main():
             if rec["rc"] == 0:
                 _launch("scan", "run", args.timeout, iters=iters,
                         ess=ess)
+
+    if args.probe == "chunks":
+        for chunk in (25, 50, 100, 250):
+            _launch("chunks", "run", args.timeout, chunk=chunk, ess=0.5)
+
+    if args.probe in ("short", "all2"):
+        # round-5 finding: 500 ALSO crashes at run — find the safe
+        # floor (250 = sample()'s long-validated chunk) and repro the
+        # C=128-parity crash in its original scan context, plus
+        # repetition to probe nondeterminism
+        for iters, ess, chains, reps, split in (
+                (250, 0.5, 64, 4, 1),
+                (250, 0.5, 64, 4, 1),
+                (100, 0.5, 64, 4, 1),
+                (400, 0.5, 64, 4, 1),
+                (30, 1.0, 128, 4, 1),
+                (30, 1.0, 128, 4, 1),
+                (30, 1.0, 128, 4, 2),   # candidate guard: 2 x 256-row
+                (250, 0.5, 128, 4, 2)):  # guard at depth too
+            _launch("scan", "run", args.timeout, iters=iters, ess=ess,
+                    chains=chains, reps=reps, split=split)
 
 
 if __name__ == "__main__":
