@@ -67,10 +67,11 @@ def test_sharded_matches_unsharded_in_distribution(variant):
     n, reps = 256, 8
     un = LiuWestFilter(model, num_particles=n, variant=variant)
     sh = ShardedLiuWest(model, num_particles=n, variant=variant)
-    run_sh = make_sharded_lw_runner(sh, _mesh(8))
+    run_sh = jax.jit(make_sharded_lw_runner(sh, _mesh(8)))
 
+    un_run = jax.jit(un.run)
     un_lls = np.array([
-        float(un.run(jax.random.key(100 + i), ys).log_likelihood)
+        float(un_run(jax.random.key(100 + i), ys).log_likelihood)
         for i in range(reps)])
     sh_lls = np.array([
         float(run_sh(jax.random.key(200 + i), ys).log_likelihood)
@@ -89,7 +90,7 @@ def test_shard_count_invariance_in_distribution():
     means = {}
     for shards in (2, 8):
         sh = ShardedLiuWest(model, num_particles=n, variant="apf")
-        run = make_sharded_lw_runner(sh, _mesh(shards))
+        run = jax.jit(make_sharded_lw_runner(sh, _mesh(shards)))
         lls = np.array([
             float(run(jax.random.key(300 + i), ys).log_likelihood)
             for i in range(reps)])
@@ -169,8 +170,8 @@ def test_joint_ring_matches_allgather_bitwise():
         specs = dict(
             in_specs=(P("particle"), P("particle"), P("particle"), P()),
             out_specs=(P("particle"), P("particle")), check_vma=False)
-        f_ring = shard_map(via_ring, mesh=mesh, **specs)
-        f_gather = shard_map(via_gather, mesh=mesh, **specs)
+        f_ring = jax.jit(shard_map(via_ring, mesh=mesh, **specs))
+        f_gather = jax.jit(shard_map(via_gather, mesh=mesh, **specs))
         for seed in range(4):
             kw, kx, kth, kr = jax.random.split(jax.random.key(seed), 4)
             logw = 3.0 * jax.random.normal(kw, (n,))

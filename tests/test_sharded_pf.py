@@ -46,8 +46,8 @@ def test_sharded_ancestors_match_weights_distribution():
     def anc(logw, key):
         return sharded_systematic_ancestors(key, logw, "particle")
 
-    f = shard_map(anc, mesh=mesh, in_specs=(P("particle"), P()),
-                  out_specs=P("particle"), check_vma=False)
+    f = jax.jit(shard_map(anc, mesh=mesh, in_specs=(P("particle"), P()),
+                          out_specs=P("particle"), check_vma=False))
     counts = np.zeros(n)
     for i in range(50):
         idx = np.asarray(f(w, jax.random.key(i)))
@@ -75,12 +75,14 @@ def test_ring_resample_matches_allgather_bitwise():
             cloud = cloud.reshape((-1,) + xs.shape[1:])
             return jnp.take(cloud, anc, axis=0)
 
-        f_ring = shard_map(via_ring, mesh=mesh,
-                           in_specs=(P("particle"), P("particle"), P()),
-                           out_specs=P("particle"), check_vma=False)
-        f_gather = shard_map(via_gather, mesh=mesh,
-                             in_specs=(P("particle"), P("particle"), P()),
-                             out_specs=P("particle"), check_vma=False)
+        f_ring = jax.jit(shard_map(
+            via_ring, mesh=mesh,
+            in_specs=(P("particle"), P("particle"), P()),
+            out_specs=P("particle"), check_vma=False))
+        f_gather = jax.jit(shard_map(
+            via_gather, mesh=mesh,
+            in_specs=(P("particle"), P("particle"), P()),
+            out_specs=P("particle"), check_vma=False))
         for seed in range(6):
             kw, kx, kr = jax.random.split(jax.random.key(seed), 3)
             # heavy-tailed weights: exercises imbalanced shard masses
@@ -187,9 +189,10 @@ def test_sharded_ll_ring_equals_allgather():
     params = jnp.array([0.8, 0.5, 0.3])
     _, ys = lgssm.simulate(jax.random.key(5), params, 30)
     mesh = _particle_mesh(8)
-    f_ring = make_sharded_ll_callable(model, 256, mesh, exchange="ring")
-    f_ag = make_sharded_ll_callable(model, 256, mesh,
-                                    exchange="allgather")
+    f_ring = jax.jit(make_sharded_ll_callable(model, 256, mesh,
+                                              exchange="ring"))
+    f_ag = jax.jit(make_sharded_ll_callable(model, 256, mesh,
+                                            exchange="allgather"))
     for seed in (0, 1):
         a = float(f_ring(jax.random.key(seed), params, jnp.asarray(ys)))
         b = float(f_ag(jax.random.key(seed), params, jnp.asarray(ys)))
@@ -222,7 +225,7 @@ def test_sharded_ll_identical_across_shard_counts_in_expectation():
     exact = float(jnp.sum(lls))
     for shards in (2, 8):
         mesh = _particle_mesh(shards)
-        f = make_sharded_ll_callable(model, 512, mesh)
+        f = jax.jit(make_sharded_ll_callable(model, 512, mesh))
         vals = [float(f(jax.random.key(10 + i), params, jnp.asarray(ys)))
                 for i in range(4)]
         assert abs(np.mean(vals) - exact) < 2.0, (shards, vals, exact)
@@ -242,8 +245,9 @@ def test_sharded_ess_adaptive_matches_every_step():
     _, ys = lgssm.simulate(jax.random.key(0), params, 40)
     ys = jnp.asarray(ys)
 
-    f_every = make_sharded_ll_callable(model, 128, mesh)
-    f_ess = make_sharded_ll_callable(model, 128, mesh, ess_threshold=0.5)
+    f_every = jax.jit(make_sharded_ll_callable(model, 128, mesh))
+    f_ess = jax.jit(make_sharded_ll_callable(model, 128, mesh,
+                                             ess_threshold=0.5))
     keys = jax.random.split(jax.random.key(1), 24)
     ll_e = jnp.stack([f_every(k, params, ys) for k in keys[:12]])
     ll_a = jnp.stack([f_ess(k, params, ys) for k in keys[12:]])
@@ -281,12 +285,14 @@ def test_ring_matches_allgather_on_bisection_path(monkeypatch):
         cloud = cloud.reshape((-1,) + xs.shape[1:])
         return jnp.take(cloud, anc, axis=0)
 
-    f_ring = shard_map(via_ring, mesh=mesh,
-                       in_specs=(P("particle"), P("particle"), P()),
-                       out_specs=P("particle"), check_vma=False)
-    f_gather = shard_map(via_gather, mesh=mesh,
-                         in_specs=(P("particle"), P("particle"), P()),
-                         out_specs=P("particle"), check_vma=False)
+    f_ring = jax.jit(shard_map(
+        via_ring, mesh=mesh,
+        in_specs=(P("particle"), P("particle"), P()),
+        out_specs=P("particle"), check_vma=False))
+    f_gather = jax.jit(shard_map(
+        via_gather, mesh=mesh,
+        in_specs=(P("particle"), P("particle"), P()),
+        out_specs=P("particle"), check_vma=False))
     for seed in range(4):
         kw, kx, kr = jax.random.split(jax.random.key(seed), 3)
         logw = 3.0 * jax.random.normal(kw, (n,))
