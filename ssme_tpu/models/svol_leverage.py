@@ -47,6 +47,21 @@ def _unpack(params):
     return params[0], params[1], params[2], params[3]  # phi, mu, sigma, rho
 
 
+# Numerical guard on the log-variance state (round-5 fix): the leverage
+# feedback term z * rho * sigma * e^{-x/2} makes the transition mean
+# EXPLOSIVE for extreme negative x — one deep-tail noise draw can start
+# a runaway x -> -inf whose next mean is (+inf) + (-inf) = NaN in f32
+# (measured on chip: non-finite evidence at the SPY posterior mean,
+# ess=0.5, ~2.4e9 particle draws).  Clamping the MEAN to +-STATE_CLAMP
+# bounds the recursion (|x'| <= STATE_CLAMP + ~6 sd) while being the
+# identity for every physically meaningful path: |log-variance| > 40 is
+# variance beyond e^40, where the particle's weight is ~0 anyway.  The
+# same clamp is applied in the Pallas kernels (filter_megakernel /
+# liu_west_megakernel / svol_leverage_lw_kernel) so all paths keep
+# identical dynamics.
+STATE_CLAMP = 40.0
+
+
 def _stationary_sd(params):
     phi, _, sigma, _ = _unpack(params)
     return sigma / jnp.sqrt(1.0 - phi * phi)
@@ -56,8 +71,9 @@ def _trans_mean(params, x_prev, z):
     # test_liu_west.cpp:96-97,313
     phi, mu, sigma, rho = _unpack(params)
     zval = jnp.zeros(()) if z is None else z[0]
-    return (mu + phi * (x_prev[0] - mu)
-            + zval * rho * sigma * jnp.exp(-0.5 * x_prev[0]))
+    return jnp.clip(mu + phi * (x_prev[0] - mu)
+                    + zval * rho * sigma * jnp.exp(-0.5 * x_prev[0]),
+                    -STATE_CLAMP, STATE_CLAMP)
 
 
 def _trans_sd(params):
@@ -131,7 +147,9 @@ def _trans_mean_batch(params, xs, z):
     sigma = bcol(params[..., 2])
     rho = bcol(params[..., 3])
     zval = jnp.zeros(()) if z is None else z[0]
-    return mu + phi * (xs - mu) + zval * rho * sigma * jnp.exp(-0.5 * xs)
+    return jnp.clip(
+        mu + phi * (xs - mu) + zval * rho * sigma * jnp.exp(-0.5 * xs),
+        -STATE_CLAMP, STATE_CLAMP)
 
 
 def _trans_sd_batch(params):

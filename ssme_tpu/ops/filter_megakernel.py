@@ -128,13 +128,14 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                  num_tiles: int = 1, num_steps: int = 0,
                  substep_regions: bool = False,
                  resampler: str = "systematic", metropolis_iters: int = 16,
-                 return_cloud: bool = False):
+                 return_cloud: bool = False, gate_stride: int = 1):
     n = num_particles
     n_leaves = kmodel.num_state
     k_steps = steps_per_cell
     always = ess_frac >= 1.0
     log_n = float(np.log(float(n)))
     use_lt = resampler == "systematic"
+    g = int(gate_stride)
 
     fns = kmodel.functional_list
     n_fns = len(fns)
@@ -209,17 +210,62 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
 
         def stage_outputs(t, lcl, fmeans):
             # stage into the revisited (8, 128) output blocks (flushed
-            # to HBM once per 128 steps); masked full-block write,
-            # zeroed at col 0
+            # to HBM once per 128 steps); masked full-block write.
+            # Freshness rule: zero the block at its FIRST write — with
+            # gate_stride g writes land at cols ≡ g-1 (mod g) plus a
+            # possible tail check, so the first write of a 128-block
+            # always has col < g (g divides 128); g == 1 reduces to the
+            # original col == 0 rule bit-compatibly.
             col = jax.lax.rem(t, 128)
             lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
-            base = jnp.where(col == 0, jnp.zeros_like(out_ref),
+            base = jnp.where(col < g, jnp.zeros_like(out_ref),
                              out_ref[:])
             out_ref[:] = jnp.where(lane == col, lcl, base)
             for fref, fmean in zip(fmean_refs, fmeans):
-                base_f = jnp.where(col == 0, jnp.zeros_like(fref),
+                base_f = jnp.where(col < g, jnp.zeros_like(fref),
                                    fref[:])
                 fref[:] = jnp.where(lane == col, fmean, base_f)
+
+        # ---- gate_stride > 1 (bootstrap mode): the transcendental
+        # lever (docs/kernels.md "gate_stride") — accumulate
+        # un-renormalized log-weights between LSE/ESS checks; staged
+        # per-check lcls telescope exactly to the evidence; functional
+        # means are emitted at check columns only.
+
+        def propagate_only(y, z):
+            cur = tuple(s_[:] for s_ in state_scr)
+            new_state = kmodel.propagate(_Rng, p, cur, y, z)
+            for leaf in range(n_leaves):
+                state_scr[leaf][:] = new_state[leaf]
+
+        def accumulate_weight(t, y, z):
+            cur = tuple(s_[:] for s_ in state_scr)
+            lw_scr[:] = lw_scr[:] + kmodel.log_weight(p, cur, y, z)
+
+        def check_and_stage(t):
+            cur = tuple(s_[:] for s_ in state_scr)
+            lw = lw_scr[:]
+            m = jnp.max(lw, axis=-1, keepdims=True)
+            wnorm = jnp.exp(lw - m)
+            ssum = jnp.sum(wnorm, axis=-1, keepdims=True)
+            lcl = (m + jnp.log(ssum)) - carry_scr[:, 0:1]
+            fmeans = [jnp.sum(fn(p, cur) * wnorm, axis=-1,
+                              keepdims=True) / ssum
+                      for fn in fns]
+            stage_outputs(t, lcl, fmeans)
+            lw_scr[:] = lw - m
+            carry_scr[:] = jnp.broadcast_to(jnp.log(ssum),
+                                            carry_scr.shape)
+
+            def resample():
+                picked = select_leaves(wnorm, [s_[:] for s_ in state_scr])
+                for leaf in range(n_leaves):
+                    state_scr[leaf][:] = picked[leaf]
+                lw_scr[:] = jnp.zeros_like(lw_scr)
+                carry_scr[:] = jnp.full_like(carry_scr, log_n)
+
+            s2 = jnp.sum(wnorm * wnorm, axis=-1, keepdims=True)
+            pl.when(jnp.min(ssum * ssum / s2) < ess_frac * n)(resample)
 
         def weight_and_stage(t, y, z):
             """Shared tail: add this step's log_g to the carried
@@ -332,21 +378,31 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
             t = tc * k_steps + k
             y, z = obs_at(t)
             if mode == "bootstrap":
+                advance = bootstrap_advance if g == 1 else propagate_only
                 if k == 0:
                     @pl.when(tc == 0)
                     def _(y=y, z=z):
                         init_t0(y, z)
 
                     @pl.when(tc > 0)
-                    def _(y=y, z=z):
-                        bootstrap_advance(y, z)
+                    def _(y=y, z=z, advance=advance):
+                        advance(y, z)
                 elif substep_regions:
                     @pl.when(t < num_steps)
-                    def _(y=y, z=z):
-                        bootstrap_advance(y, z)
+                    def _(y=y, z=z, advance=advance):
+                        advance(y, z)
                 else:
-                    bootstrap_advance(y, z)
-                weight_and_stage(t, y, z)
+                    advance(y, z)
+                if g == 1:
+                    weight_and_stage(t, y, z)
+                else:
+                    accumulate_weight(t, y, z)
+                    if k % g == g - 1:
+                        check_and_stage(t)
+                    else:
+                        # ragged tail: the last real step always checks
+                        pl.when(t == num_steps - 1)(
+                            functools.partial(check_and_stage, t))
             else:  # apf
                 if k == 0:
                     @pl.when(tc == 0)
@@ -385,14 +441,16 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                                              "substep_regions",
                                              "resampler",
                                              "metropolis_iters",
-                                             "return_cloud"))
+                                             "return_cloud",
+                                             "gate_stride"))
 def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
                       num_particles: int = 512, interpret: bool = False,
                       ess_threshold: float = 1.0, mode: str = "bootstrap",
                       steps_per_cell: int = 8, substep_regions=None,
                       resampler: str = "systematic",
                       metropolis_iters: int = 16,
-                      return_cloud: bool = False):
+                      return_cloud: bool = False,
+                      gate_stride: int = 1):
     """Run B whole-sequence particle filters in one ``pallas_call``.
 
     seed: int32 scalar or a ``jax.random`` key (see ``_prng.tile_seeds``);
@@ -423,6 +481,15 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     measured schedule/sweep-dependent up to several nats of evidence —
     see the table in docs/kernels.md before using it anywhere the
     evidence feeds an accept ratio).
+
+    gate_stride: run the LSE/ESS check every this many steps
+    (bootstrap + ESS-adaptive only; must divide steps_per_cell).
+    Between checks the carried log-weights accumulate un-renormalized —
+    no per-step exp/LSE pass (4 -> 3 + 1/stride transcendentals per
+    propagation; the measured 2.1x adaptive-throughput lever,
+    docs/kernels.md "gate_stride").  ``sum(lcls)`` remains EXACTLY the
+    evidence; per-step lcls coarsen to per-check columns (zeros
+    elsewhere) and functional means are emitted at check columns only.
 
     return_cloud: also return the FINAL particle cloud — appends
     ``(cloud, cloud_log_weights)`` to the result tuple, where ``cloud``
@@ -491,6 +558,15 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     k_steps = int(steps_per_cell)
     if k_steps < 1 or 128 % k_steps:
         raise ValueError("steps_per_cell must divide 128")
+    gate_stride = int(gate_stride)
+    if gate_stride < 1 or k_steps % gate_stride:
+        raise ValueError("gate_stride must divide steps_per_cell")
+    if gate_stride > 1 and (mode != "bootstrap"
+                            or ess_threshold >= 1.0):
+        raise ValueError(
+            "gate_stride > 1 applies to the ESS-adaptive bootstrap "
+            "mode only (APF selects every step by construction; the "
+            "every-step parity schedule needs gate_stride=1)")
 
     # pad the series so every grid cell has k_steps observations; the
     # padded tail's outputs land beyond t_len and are sliced away
@@ -521,7 +597,8 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     outs = pl.pallas_call(
         _make_kernel(kmodel, n, float(ess_threshold), mode, k_steps,
                      b // TILE_B, t_len, bool(substep_regions),
-                     resampler, int(metropolis_iters), bool(return_cloud)),
+                     resampler, int(metropolis_iters), bool(return_cloud),
+                     gate_stride),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,   # seed, ys, zs (SMEM)
             grid=(b // TILE_B, t_cells),
@@ -571,7 +648,8 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                         interpret: bool = False,
                         resampler: str = "systematic",
                         metropolis_iters: int = None,
-                        metropolis_bias_budget: float = 0.5):
+                        metropolis_bias_budget: float = 0.5,
+                        gate_stride: int = 1):
     """PMMH ``batched_log_like`` hook for any kernel model: all chains x
     replicates in one launch, per-chain log-mean-exp over replicates
     (``thread_pool.h:259-273`` semantics).
@@ -664,7 +742,8 @@ def megakernel_log_like(kmodel: KernelModel, num_particles: int,
                                        ess_threshold=ess_threshold,
                                        interpret=interpret,
                                        resampler=resampler,
-                                       metropolis_iters=int(eff_iters))
+                                       metropolis_iters=int(eff_iters),
+                                       gate_stride=gate_stride)
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll
@@ -777,8 +856,12 @@ def svol_leverage_kernel_model() -> KernelModel:
     def propagate(rng, p, state, y, z):
         phi, mu, sigma, rho = (p[:, 0:1], p[:, 1:2], p[:, 2:3], p[:, 3:4])
         (x,) = state
-        mean = (mu + phi * (x - mu)
-                + z[0] * rho * sigma * jnp.exp(-0.5 * x))
+        # mean clamp = models/svol_leverage.STATE_CLAMP (f32 runaway
+        # guard for the explosive leverage feedback term; see the
+        # model's note — identity on all physical paths)
+        mean = jnp.clip(mu + phi * (x - mu)
+                        + z[0] * rho * sigma * jnp.exp(-0.5 * x),
+                        -40.0, 40.0)
         sd = sigma * jnp.sqrt(1.0 - rho * rho)
         return (mean + sd * rng.normal(x.shape),)
 
@@ -790,11 +873,12 @@ def svol_leverage_kernel_model() -> KernelModel:
 
     def prop_mu(p, state, y, z):
         # APF lookahead = transition conditional mean
-        # (test_liu_west.cpp:92-99)
+        # (test_liu_west.cpp:92-99); same clamp as propagate
         phi, mu, sigma, rho = (p[:, 0:1], p[:, 1:2], p[:, 2:3], p[:, 3:4])
         (x,) = state
-        return (mu + phi * (x - mu)
-                + z[0] * rho * sigma * jnp.exp(-0.5 * x),)
+        return (jnp.clip(mu + phi * (x - mu)
+                         + z[0] * rho * sigma * jnp.exp(-0.5 * x),
+                         -40.0, 40.0),)
 
     return KernelModel(num_params=4, init=init, propagate=propagate,
                        log_weight=log_weight, prop_mu=prop_mu, dim_cov=1,

@@ -757,8 +757,11 @@ def svol_leverage_lw_kernel_model(prior_bounds=None) -> LWKernelModel:
         phi, mu, sig, rho = (cp[0:1, :], cp[1:2, :], cp[2:3, :],
                              cp[3:4, :])
         (x,) = state
-        mean = (mu + phi * (x - mu)
-                + z[0] * rho * sig * jnp.exp(-0.5 * x))
+        # mean clamp = models/svol_leverage.STATE_CLAMP (f32 runaway
+        # guard for the explosive leverage feedback; see model note)
+        mean = jnp.clip(mu + phi * (x - mu)
+                        + z[0] * rho * sig * jnp.exp(-0.5 * x),
+                        -40.0, 40.0)
         sd = sig * jnp.sqrt(1.0 - rho * rho)
         return (mean + sd * rng.normal(x.shape),)
 
@@ -766,8 +769,9 @@ def svol_leverage_lw_kernel_model(prior_bounds=None) -> LWKernelModel:
         phi, mu, sig, rho = (cp[0:1, :], cp[1:2, :], cp[2:3, :],
                              cp[3:4, :])
         (x,) = state
-        return (mu + phi * (x - mu)
-                + z[0] * rho * sig * jnp.exp(-0.5 * x),)
+        return (jnp.clip(mu + phi * (x - mu)
+                         + z[0] * rho * sig * jnp.exp(-0.5 * x),
+                         -40.0, 40.0),)
 
     def log_weight(cp, state, y, z):
         # y ~ N(0, e^{x/2}); parameter-free (test_liu_west.cpp:133-136)

@@ -217,8 +217,10 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             if variant == "apf":
                 # first-stage lookahead + ancestor selection (lw:379-404)
                 phi_o, mu_o, sig_o, rho_o = _constrain_rows(th)
-                look = (mu_o + phi_o * (x - mu_o)
-                        + z * rho_o * sig_o * jnp.exp(-0.5 * x))
+                # mean clamp: see models/svol_leverage.STATE_CLAMP
+                look = jnp.clip(mu_o + phi_o * (x - mu_o)
+                                + z * rho_o * sig_o * jnp.exp(-0.5 * x),
+                                -40.0, 40.0)
                 log_fsw = lw + _log_g(y, look)
                 mfs = jnp.max(log_fsw, axis=-1, keepdims=True)
                 w_fs = jnp.exp(log_fsw - mfs)
@@ -265,8 +267,9 @@ def _build_kernel(num_particles, num_steps, shrink_a, prior_lo, prior_hi,
             ], axis=0)
 
             phi_n, mu_n, sig_n, rho_n = _constrain_rows(th_new)
-            mean = (mu_n + phi_n * (x_anc - mu_n)
-                    + z * rho_n * sig_n * jnp.exp(-0.5 * x_anc))
+            mean = jnp.clip(mu_n + phi_n * (x_anc - mu_n)
+                            + z * rho_n * sig_n * jnp.exp(-0.5 * x_anc),
+                            -40.0, 40.0)
             sd = sig_n * jnp.sqrt(1.0 - rho_n * rho_n)
             x_new = mean + sd * _normal_bits((1, n))
 
