@@ -109,6 +109,37 @@ def transc_rate(rows=8, lanes=512, inner=64, grid=256, streams=24):
             "secs": secs}
 
 
+def unary_rate(name, fn, rows=8, lanes=512, inner=64, grid=256,
+               streams=24):
+    """Sustained elements/s of an arbitrary unary VPU op (same harness
+    as transc_rate) — measures each transcendental's OWN rate: the
+    round-5 gate_stride bench exceeded the exp()-only roofline, implying
+    log/sqrt/cos are cheaper than exp on this chip."""
+    def kernel(x_ref, o_ref):
+        xs = [x_ref[:] * jnp.float32(1.0 + 0.1 * i)
+              for i in range(streams)]
+        for _ in range(inner):
+            xs = [fn(x) + jnp.float32(1.5) for x in xs]
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[:] = acc
+
+    x = jnp.full((rows, lanes), 1.7, jnp.float32)
+    f = jax.jit(lambda x: pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((rows, lanes), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, lanes), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+    )(x))
+    secs = _time(f, x)
+    n_ops = rows * lanes * inner * grid * streams
+    return {"resource": name, "elems_per_s": n_ops / secs, "secs": secs}
+
+
 def mxu_rate(n=512, inner=64, grid=64, streams=4):
     """Sustained f32 DEFAULT-precision (n, n) matmul flops/s
     (independent accumulators keep the systolic array fed)."""
@@ -154,7 +185,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     out_f = open(args.out, "a")
-    for fn in (vpu_rate, transc_rate, mxu_rate):
+    import functools as _ft
+    per_op = [
+        _ft.partial(unary_rate, "vpu_log_f32", jnp.log),
+        _ft.partial(unary_rate, "vpu_sqrt_f32", jnp.sqrt),
+        _ft.partial(unary_rate, "vpu_cos_f32", jnp.cos),
+        _ft.partial(unary_rate, "vpu_sin_f32", jnp.sin),
+        _ft.partial(unary_rate, "vpu_tanh_f32", jnp.tanh),
+    ]
+    for fn in [vpu_rate, transc_rate, mxu_rate] + per_op:
         rec = fn()
         rec["platform"] = jax.devices()[0].platform
         print(json.dumps(rec))

@@ -36,14 +36,17 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=512)
     ap.add_argument("--replicates", type=int, default=2)
     ap.add_argument("--burn", type=int, default=2000)
-    # 500-iteration compiled chunks: a 1000-iteration scan at C=64
-    # crashed the TPU worker at compile (chunk=500 is the largest
-    # validated size — tune_pmmh.py ran this exact config with it)
-    ap.add_argument("--chunk", type=int, default=500)
+    # 250-iteration compiled chunks: round-5 probes measured 500+
+    # iteration single-jit scans killing the TPU worker at RUN
+    # (data/probe_crash.jsonl; inference.pmmh.MAX_SCAN_ITERS)
+    ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--ess", type=float, default=0.5,
                     help="kernel resampling schedule (1.0 = every-step "
                          "reference parity)")
+    ap.add_argument("--gate-stride", type=int, default=1,
+                    help="kernel LSE/ESS check stride (docs/kernels.md "
+                         "gate_stride; 8 = the measured 2.1x lever)")
     ap.add_argument("--tag", default="tuned")
     args = ap.parse_args(argv)
 
@@ -62,7 +65,8 @@ def main(argv=None):
                                             "spy_returns.csv"), num_cols=1))
 
     batched = svol_pallas_batched_log_like(args.particles, args.replicates,
-                                           ess_threshold=args.ess)
+                                           ess_threshold=args.ess,
+                                           gate_stride=args.gate_stride)
     pmmh = AdaptivePMMH(svol.make_model(), num_particles=args.particles,
                         num_replicates=args.replicates, t0=150, t1=10**9,
                         batched_log_like=batched)
@@ -101,7 +105,9 @@ def main(argv=None):
     out = {
         "config": {"iters": args.iters, "chains": args.chains,
                    "N": args.particles, "R": args.replicates,
-                   "ess_threshold": args.ess, "adaptation": "continuous",
+                   "ess_threshold": args.ess,
+                   "gate_stride": args.gate_stride,
+                   "adaptation": "continuous",
                    "start": "reference (estimate_univ_svol.h:152-154)",
                    "burn": args.burn},
         "wall_secs": wall,

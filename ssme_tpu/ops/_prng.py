@@ -30,6 +30,14 @@ def normal_bits(shape):
     outputs (r cos, r sin) are used — the pair is independent N(0,1) —
     halving the transcendental count per normal (log/sqrt shared, one
     cos + one sin per TWO normals instead of log/sqrt/cos per one).
+
+    Round-5 negative A/B: computing the sine via the exact identity
+    ``sin(2 pi u) = sgn(0.5 - u) * sqrt(1 - cos^2)`` — motivated by the
+    per-op roofline measuring ISOLATED cos/sin at 2.4e10 elems/s vs
+    ~6e10 for sqrt — measured NEUTRAL-to-5%-SLOWER end-to-end at both
+    gate strides (1.66e10 vs 1.69e10 props/s at stride 1; 3.41e10 vs
+    3.58e10 at stride 8), consistent with the compiler already fusing
+    the same-argument cos+sin pair into one sincos.  Native sin kept.
     """
     if len(shape) == 2 and shape[1] % 256 == 0:
         half = (shape[0], shape[1] // 2)

@@ -315,22 +315,27 @@ def rejection_select_leaves(w, leaves, draw_bits, max_iters=4096,
 # Metropolis sweep budgeting (VERDICT r4 item 6: safe-by-construction)
 # ---------------------------------------------------------------------------
 
-# Measured total-evidence bias envelope of the finite-sweep Metropolis
-# ancestor law, fitted as  bias(B) = A * (t_len / 3084) * (B / 8)^-P
-# per schedule (SPY workload, N=512, theta*, 1024-3072 rows;
-# data/probe_metropolis.jsonl + data/probe_resampler.jsonl, both
-# models — univ-SVOL and SVOL-leverage; docs/kernels.md table):
+# Measured total-evidence |bias| envelope of the finite-sweep
+# Metropolis ancestor law, fitted as
+# |bias|(B) <= SAFETY * A_sched * (t_len / 3084) * (B / 8)^-P
+# (SPY workload, N=512, theta*, 1024-4608 rows;
+# data/probe_metropolis.jsonl + data/probe_resampler.jsonl, BOTH
+# models; docs/kernels.md tables):
 #
-# - parity (resample every step, ~T events): bias 5.78/3.55/2.11 nats
-#   at B=8/16/32 -> A=5.8, P=0.73 (the slowest decay measured);
-# - ESS-adaptive at 0.5 (~T/8 events): 1.59/0.86/0.44 -> A=1.6, P=0.93
-#   (P clamped to the conservative 0.73 below).
+# - univ-SVOL, parity: 10.33/5.78/3.55/2.11 nats at B=4/8/16/32
+#   (decay B^-0.76); adaptive(0.5): 3.13/1.47/0.83/0.41 (B^-0.98);
+# - SVOL-leverage, adaptive: +3.11/+2.19/+1.30/+0.76 — POSITIVE bias
+#   (the sign is model- and theta-dependent, which is exactly why a
+#   biased evidence corrupts a pseudo-marginal posterior), decay
+#   B^-0.68 (the slowest measured).
 #
-# The envelope scales linearly in t_len (bias accumulates per
-# resampling event) and is measured n-INSENSITIVE from 512 to 4096
-# (kappa = n max w / sum w is roughly n-free for non-degenerate
-# weights).  _BIAS_SAFETY doubles the fit to cover model-to-model
-# spread (the leverage model measured within ~1.5x of SVOL).
+# A_parity=5.8, A_adaptive=1.6 anchor the SVOL B=8 points; P=0.73 with
+# SAFETY=2 verifiably dominates EVERY measured point on both models
+# (the 1.46x prefactor margin over leverage outweighs its slightly
+# slower 0.68 decay until B ~ 15000, far past max_sweeps).  The
+# envelope scales linearly in t_len (bias accumulates per resampling
+# event) and is measured n-INSENSITIVE from 512 to 4096 (kappa =
+# n max w / sum w is roughly n-free for non-degenerate weights).
 _METROPOLIS_BIAS_A = {"parity": 5.8, "adaptive": 1.6}
 _METROPOLIS_BIAS_P = 0.73
 _BIAS_FIT_T = 3084.0

@@ -683,3 +683,38 @@ def test_metropolis_sweep_budgeting():
                                  interpret=True)
     with pytest.warns(UserWarning, match="evidence"):
         ll_bad(jax.random.key(0), params, ys)
+
+
+def test_factory_gate_stride_sis_equivalence_interpret():
+    """Factory port of the gate_stride lever: with a never-firing gate
+    both strides run the same pure-SIS filter — totals agree to
+    renormalization rounding; lcls are zero off check columns and
+    telescope; ragged tails still check at T-1; validation rejects
+    non-dividing strides and non-adaptive modes."""
+    km = svol_kernel_model()
+    params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
+    ys = 0.3 * jnp.ones(19)
+    kw = dict(num_particles=128, interpret=True, steps_per_cell=8,
+              ess_threshold=1e-6)
+    tot1, lcls1, _ = filter_megakernel(km, 3, params, ys, **kw)
+    tot4, lcls4, _ = filter_megakernel(km, 3, params, ys, gate_stride=4,
+                                       **kw)
+    np.testing.assert_allclose(np.asarray(tot4), np.asarray(tot1),
+                               rtol=2e-4, atol=2e-4)
+    l4 = np.asarray(lcls4)
+    np.testing.assert_allclose(l4.sum(-1), np.asarray(tot4), rtol=1e-5)
+    mask = np.ones(19, bool)
+    mask[[3, 7, 11, 15, 18]] = False
+    assert np.all(l4[:, mask] == 0.0)
+    np.testing.assert_allclose(l4[:, 18],
+                               np.asarray(lcls1)[:, 16:].sum(-1),
+                               rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError, match="divide steps_per_cell"):
+        filter_megakernel(km, 3, params, ys, gate_stride=3, **kw)
+    with pytest.raises(ValueError, match="adaptive"):
+        filter_megakernel(km, 3, params, ys, num_particles=128,
+                          interpret=True, gate_stride=4)
+    with pytest.raises(ValueError, match="adaptive"):
+        filter_megakernel(km, 3, params, ys, num_particles=128,
+                          interpret=True, ess_threshold=0.5, mode="apf",
+                          gate_stride=4)

@@ -59,3 +59,4 @@ def test_fused_step_rejects_unaligned_shapes():
         fused_svol_propagate_weight(0, 0.0, jnp.zeros((4, 3)),
                                     jnp.zeros((4, 100)), jnp.zeros((4, 100)),
                                     interpret=True)
+
