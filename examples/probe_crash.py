@@ -111,20 +111,37 @@ def _worker():
         state = pmmh.init(jax.random.key(0),
                           jnp.asarray(svol.START_TRANS_THETA), ys,
                           num_chains=chains)
-        fn = jax.jit(lambda st: pmmh._scan_chunk(st, chunk, ys))
-        res = fn(state)                      # compile + warm
-        state = res.final_state
-        float(jnp.sum(res.samples))
+        variant = os.environ.get("PROBE_VARIANT", "base")
+        if variant == "discard":
+            # return ONLY the final state (no stacked per-iteration
+            # outputs cross the tunnel / live on device)
+            fn = jax.jit(
+                lambda st: pmmh._scan_chunk(st, chunk, ys).final_state)
+
+            def step(st):
+                return fn(st)
+        else:
+            fn = jax.jit(lambda st: pmmh._scan_chunk(st, chunk, ys))
+
+            def step(st):
+                res = fn(st)
+                if variant == "sync":
+                    # force completion + host fetch between chunks
+                    # (drains any queued-dispatch backlog)
+                    float(jnp.sum(res.samples))
+                return res.final_state
+        state = step(state)                  # compile + warm
+        float(jnp.sum(state.trans_theta))
         t0 = time.time()
         done = 0
         while done < total_iters:
-            res = fn(state)
-            state = res.final_state
+            state = step(state)
             done += chunk
-        val = float(jnp.sum(res.samples))    # sync
+        val = float(jnp.sum(state.trans_theta))   # sync
         dt = time.time() - t0
         print(json.dumps({"ok": val == val, "total_iters": done,
-                          "chunk": chunk, "wall": dt,
+                          "chunk": chunk, "variant": variant,
+                          "wall": dt,
                           "ms_per_iter": 1e3 * dt / done}))
         return
 
@@ -218,7 +235,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe",
                     choices=["rows", "scan", "all", "short", "all2",
-                             "chunks"],
+                             "chunks", "chunkvar"],
                     default="all")
     ap.add_argument("--timeout", type=int, default=2400)
     args = ap.parse_args()
@@ -245,6 +262,11 @@ def main():
     if args.probe == "chunks":
         for chunk in (25, 50, 100, 250):
             _launch("chunks", "run", args.timeout, chunk=chunk, ess=0.5)
+
+    if args.probe == "chunkvar":
+        for variant in ("base", "sync", "discard"):
+            _launch("chunks", "run", args.timeout, chunk=100, ess=0.5,
+                    variant=variant)
 
     if args.probe in ("short", "all2"):
         # round-5 finding: 500 ALSO crashes at run — find the safe
