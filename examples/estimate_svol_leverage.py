@@ -49,6 +49,9 @@ def main(argv=None):
                    default="generic")
     p.add_argument("--out", default=None)
     p.add_argument("--burn", type=int, default=500)
+    p.add_argument("--gate-stride", type=int, default=1,
+                   help="kernel LSE/ESS check stride (pallas engine; "
+                        "8 = the measured 2.1x lever, docs/kernels.md)")
     p.add_argument("--tuned", action="store_true",
                    help="measured leverage preset (VERDICT r4 item 4): "
                         "C=64 chains, R=2 replicates (Doucet-Pitt "
@@ -99,7 +102,7 @@ def main(argv=None):
             megakernel_log_like, svol_leverage_kernel_model)
         batched = megakernel_log_like(
             svol_leverage_kernel_model(), args.particles, args.replicates,
-            ess_threshold=0.5)
+            ess_threshold=0.5, gate_stride=args.gate_stride)
 
     pmmh = AdaptivePMMH(model, num_particles=args.particles,
                         num_replicates=args.replicates, t0=150, t1=10**9,
@@ -140,6 +143,7 @@ def main(argv=None):
         "chains": args.chains, "N": args.particles,
         "R": args.replicates, "T": int(ys.shape[0]), "secs": secs,
         "tuned": bool(args.tuned),
+        "gate_stride": args.gate_stride,
         "accept": float(state.accept_ma.mean()),
         "posterior": stats,
     }

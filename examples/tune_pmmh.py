@@ -41,7 +41,7 @@ DEFAULT_CONFIGS = [
 ]
 
 
-def measure(label, chains, n, r, t1, num_iters, ys, chunk=500, ess_tau=0.5):
+def measure(label, chains, n, r, t1, num_iters, ys, chunk=250, ess_tau=0.5):
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +106,7 @@ def measure(label, chains, n, r, t1, num_iters, ys, chunk=500, ess_tau=0.5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3000)
-    ap.add_argument("--chunk", type=int, default=500)
+    ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--configs", nargs="*", default=None,
                     help="label,chains,N,R,t1 tuples; default built-ins")
     ap.add_argument("--out", default="data/tune_pmmh.jsonl")
