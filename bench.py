@@ -70,6 +70,7 @@ def _time_best(run, state, windows=2):
 
 def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
              ys, ess_threshold, windows=2, gate_stride=1):
+    # BENCH_SPC: steps_per_cell A/B knob (pallas path only)
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +83,8 @@ def _measure(impl, num_particles, num_replicates, num_chains, num_iters,
             svol_pallas_batched_log_like)
         batched_ll = svol_pallas_batched_log_like(
             num_particles, num_replicates, ess_threshold=ess_threshold,
-            gate_stride=(gate_stride if ess_threshold < 1.0 else 1))
+            gate_stride=(gate_stride if ess_threshold < 1.0 else 1),
+            steps_per_cell=int(os.environ.get("BENCH_SPC", 8)))
     else:
         # generic XLA filter bank with the SAME schedule semantics:
         # ess_threshold must reach this path too, or the "adaptive"

@@ -450,7 +450,8 @@ def svol_pallas_replicated_log_like(num_particles: int, num_replicates: int,
 
 def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
                                  ess_threshold: float = 0.5,
-                                 gate_stride: int = 1):
+                                 gate_stride: int = 1,
+                                 steps_per_cell: int = 8):
     """PMMH ``batched_log_like`` hook: ALL chains x replicates in one
     kernel launch.
 
@@ -480,7 +481,8 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
         vals, _, _ = svol_filter_pallas(key, batch, ys,
                                         num_particles=num_particles,
                                         ess_threshold=ess_threshold,
-                                        gate_stride=gate_stride)
+                                        gate_stride=gate_stride,
+                                        steps_per_cell=steps_per_cell)
         return logmeanexp(vals[:b_needed].reshape(c, r), axis=-1)
 
     return ll
