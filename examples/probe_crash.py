@@ -1,11 +1,21 @@
 #!/usr/bin/env python
 """Root-cause probes for the two documented TPU-worker crashes
-(VERDICT r4 item 1):
+(VERDICT r4 item 1), plus steady-state chunk-size sweeps.
 
-  A. C=128 chains x R=4 (512 kernel rows) at the PARITY schedule kills
-     the TPU worker; C=64 (256 rows) is fine.
-  B. A 1000-iteration PMMH scan in ONE jit at C=64 kills the worker;
-     500-iteration chunks are fine.
+Round-5 findings (docs/kernels.md "Worker-crash envelope"):
+
+  A. Long single-jit PMMH scans: 500/750/1000 iterations kill the
+     worker AT RUN (compiles always succeed); 100/250/400 run clean.
+     Per-iteration wall time GROWS with scan length — per-process
+     bookkeeping accumulation, not wall clock or launch count.
+     Calibrates ``ssme_tpu.inference.pmmh.MAX_SCAN_ITERS`` (the
+     run_from/sample auto-chunk guard) — the reference never crashes
+     on legal configs (``ada_pmmh_mvn.h:326-372``), so neither may we.
+  B. C=128 chains x R=4 (512 rows) at parity: single 30-iteration
+     scans pass, but repeated executions in one process (the bench's
+     warm+windows pattern) still crash — the per-process budget
+     shrinks with row width.  No library row guard (standalone big
+     launches are fine); C=64 is the validated bench width.
 
 Each probe runs in its OWN subprocess (a Mosaic/worker fault kills the
 whole process; isolation keeps the sweep alive — same rationale as
@@ -14,21 +24,13 @@ bench.py's workers) and separates the COMPILE stage from the RUN stage:
   phase="compile": jax.jit(...).lower(...).compile() only
   phase="run":     compile + execute + fetch
 
-Results append to data/probe_crash.jsonl as one JSON line per probe:
-  {"probe": ..., "rows"/"iters": ..., "ess": ..., "phase": ...,
-   "rc": int, "elapsed": s, "note": last-line-of-output}
+Results append to data/probe_crash.jsonl as one JSON line per probe.
 
 Usage:
-  python examples/probe_crash.py                # default sweep
-  python examples/probe_crash.py --probe rows   # row-width sweep only
-  python examples/probe_crash.py --probe scan   # scan-length sweep only
-
-The guards these probes calibrate live in
-``ssme_tpu.ops.svol_filter_kernel`` / ``ops.filter_megakernel``
-(MAX_KERNEL_ROWS) and ``ssme_tpu.inference.pmmh`` (MAX_SCAN_ITERS):
-the reference never crashes on legal configs
-(``ada_pmmh_mvn.h:326-372`` runs any ``num_mcmc_iters``), so neither
-may we.
+  python examples/probe_crash.py                 # rows + scan sweeps
+  python examples/probe_crash.py --probe short   # safe-floor bisection
+  python examples/probe_crash.py --probe chunks  # chunk-size sweep
+  python examples/probe_crash.py --probe chunkvar  # mitigation A/B
 """
 
 import argparse

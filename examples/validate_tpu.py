@@ -209,6 +209,25 @@ def main(argv=None):
           f"tau=.5 {float(tot_a.mean()):.2f} tau=1 "
           f"{float(tot_s.mean()):.2f} gap {gap:.2f} < tol {tol:.2f}")
 
+    # ---- 5a. gate_stride: coarsened LSE/ESS checks stay unbiased ------
+    # (round-5 transcendental lever, docs/kernels.md "gate_stride": the
+    # staged per-check lcls telescope exactly, so totals must agree
+    # with the per-step-gated schedule within MC error — both kernels)
+    tot_g8, _, _ = svol_filter_pallas(17, rows, ys, num_particles=N,
+                                      ess_threshold=0.5, gate_stride=8)
+    gap = abs(float(tot_g8.mean()) - float(tot_a.mean()))
+    tol_g = 4 * (float(tot_a.std()) + float(tot_g8.std())) / np.sqrt(B) + 0.5
+    check("gate_stride=8 unbiased (hand kernel)", gap < tol_g,
+          f"g8 {float(tot_g8.mean()):.2f} g1 {float(tot_a.mean()):.2f} "
+          f"gap {gap:.2f} < tol {tol_g:.2f}")
+    tot_fg8, _, _ = filter_megakernel(svol_kernel_model(), 17, rows, ys,
+                                      num_particles=N,
+                                      ess_threshold=0.5, gate_stride=8)
+    gap = abs(float(tot_fg8.mean()) - float(tot_a.mean()))
+    check("gate_stride=8 unbiased (factory)", gap < tol_g,
+          f"g8 {float(tot_fg8.mean()):.2f} g1 {float(tot_a.mean()):.2f} "
+          f"gap {gap:.2f} < tol {tol_g:.2f}")
+
     # ---- 5b. worker-crash guard: long PMMH requests auto-chunk --------
     # (VERDICT r4 item 1: >= 500-launch single executions kill the TPU
     # worker — data/probe_crash.jsonl; the guard splits run_from into

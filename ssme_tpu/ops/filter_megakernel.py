@@ -753,7 +753,8 @@ def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
                               zs=None, num_particles: int = 512,
                               ess_threshold: float = 1.0,
                               interpret: bool = False,
-                              return_cloud: bool = False):
+                              return_cloud: bool = False,
+                              gate_stride: int = 1):
     """Swarm conditional evidence for any kernel model: one filter per
     parameter draw, per-step aggregation across models
     (``pswarm_filter.h:86-160`` semantics; cf.
@@ -778,7 +779,8 @@ def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
                              num_particles=num_particles,
                              ess_threshold=ess_threshold,
                              interpret=interpret,
-                             return_cloud=return_cloud)
+                             return_cloud=return_cloud,
+                             gate_stride=gate_stride)
     _, lcls, fmeans = outs[:3]
     lcls = lcls[:m_models]
     if not isinstance(fmeans, tuple):
