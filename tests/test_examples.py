@@ -59,3 +59,27 @@ def test_swarm_cli(small_data):
                "--param-particles", "4", "--forecast", "2")
     assert out.returncode == 0, out.stderr[-1500:]
     assert "conditional evidence" in out.stdout
+
+
+def test_estimate_svol_leverage_tuned_cli(small_data):
+    """The --tuned preset's code path (warm restart mid-run, guard-safe
+    chunking, JSON output with the tuned/gate_stride fields) on the
+    generic CPU engine at toy scale."""
+    import json
+
+    d, data, _ = small_data
+    outp = str(d / "lev.json")
+    out = _run("estimate_svol_leverage.py", "--datafile", data,
+               "--engine", "generic", "--tuned", "--chains", "2",
+               "--particles", "32", "--replicates", "1", "--iters", "8",
+               "--burn", "4", "--t-len", "40", "--out", outp,
+               timeout=900)
+    # --tuned forces chains=64; keep it tiny by overriding AFTER: the
+    # preset max()s chains, so pass a larger value check instead
+    assert out.returncode == 0, out.stderr[-1500:]
+    rec = json.load(open(outp))
+    assert rec["tuned"] is True
+    assert rec["gate_stride"] == 1
+    assert rec["iters"] == 8
+    assert np.isfinite(rec["accept"])
+    assert "rho" in rec["posterior"]
