@@ -47,6 +47,11 @@ def main(argv=None):
                    help="pallas: evaluate ALL chains x replicates per "
                         "MH iteration in one TPU megakernel launch "
                         "(ESS-adaptive resampling; ~50x)")
+    p.add_argument("--gate-stride", type=int, default=1,
+                   help="kernel LSE/ESS check stride (pallas engine; "
+                        "8 = the measured 2.1x throughput lever at "
+                        "production scale — 18.8 vs 12.4 ESS/s on the "
+                        "10k-iteration SPY flagship, docs/kernels.md)")
     p.add_argument("--tuned", action="store_true",
                    help="measured pseudo-marginal optimum instead of "
                         "the reference constants: 64 chains x 2 PF "
@@ -85,8 +90,8 @@ def main(argv=None):
         args.particles = n_parts
         from ssme_tpu.ops.svol_filter_kernel import (
             svol_pallas_batched_log_like)
-        batched_ll = svol_pallas_batched_log_like(n_parts,
-                                                  args.n_pfilters)
+        batched_ll = svol_pallas_batched_log_like(
+            n_parts, args.n_pfilters, gate_stride=args.gate_stride)
     pmmh = AdaptivePMMH(model, num_particles=args.particles,
                         num_replicates=args.n_pfilters, t0=150, t1=t1,
                         batched_log_like=batched_ll)
