@@ -48,12 +48,13 @@ from ssme_tpu.utils import logmeanexp
 # TPU worker AT RUN TIME (compiles always succeed, including 1000
 # iters); 100/250/400-iteration scans run clean (250 reproduced twice
 # here and hundreds of times as sample()'s chunk size).  The mechanism
-# is consistent with per-launch bookkeeping accumulating within one
-# device execution — measured per-iteration wall time GROWS with scan
-# length (52/90/114 ms/iter at 100/250/400 iterations of the identical
-# program) until the worker dies somewhere in (400, 500] launches; it
-# is NOT a wall-clock cutoff (a 45.6 s 400-iteration execution
-# survives).  250 sits well under the boundary and matches the
+# is consistent with per-SCAN-ITERATION bookkeeping accumulating —
+# measured per-iteration wall time GROWS with scan length (52/90/114
+# ms/iter at 100/250/400 iterations of the identical program) until
+# the worker dies somewhere in (400, 500] iterations; it is NOT a
+# wall-clock cutoff (a 45.6 s 400-iteration execution survives) and
+# NOT a launch-count limit (250 iterations x 2 launches each = 500
+# launches runs clean).  250 sits well under the boundary and matches the
 # long-validated sample() chunk.  ``run``/``run_from`` transparently
 # split longer requests into host-level chunks of at most this many
 # iterations — the reference runs any ``num_mcmc_iters`` without
