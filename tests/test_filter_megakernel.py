@@ -718,3 +718,33 @@ def test_factory_gate_stride_sis_equivalence_interpret():
         filter_megakernel(km, 3, params, ys, num_particles=128,
                           interpret=True, ess_threshold=0.5, mode="apf",
                           gate_stride=4)
+
+
+def test_swarm_evidence_gate_stride_and_cloud_interpret():
+    """Swarm evidence with gate_stride + return_cloud composed: totals
+    telescope, the cloud export survives the stride path, and the
+    forecast bridge still runs."""
+    from ssme_tpu.inference import forecast_from_cloud
+    from ssme_tpu.models import svol
+
+    km = svol_kernel_model()
+    draws = jnp.tile(jnp.array([[1.0, 0.5, 0.01]]), (8, 1))
+    rows = jnp.stack([draws[:, 0], draws[:, 1],
+                      jnp.sqrt(draws[:, 2])], axis=-1)
+    ys = 0.3 * jnp.ones(16)
+    ev = megakernel_swarm_evidence(km, 3, rows, ys, num_particles=128,
+                                   interpret=True, ess_threshold=1e-6,
+                                   gate_stride=4, return_cloud=True)
+    lcl = np.asarray(ev["per_model_log_cond_likes"])
+    assert lcl.shape == (8, 16)
+    # stride 4: nonzero only at check columns {3, 7, 11, 15}
+    mask = np.ones(16, bool)
+    mask[[3, 7, 11, 15]] = False
+    assert np.all(lcl[:, mask] == 0.0)
+    assert np.all(np.isfinite(np.asarray(ev["final_cloud"][0])))
+    obs = forecast_from_cloud(svol.make_model(), draws,
+                              ev["final_cloud"],
+                              ev["final_log_weights"],
+                              jax.random.key(2), num_steps=3)
+    assert obs.shape == (8, 3, 128, 1)
+    assert np.all(np.isfinite(np.asarray(obs)))
