@@ -748,3 +748,35 @@ def test_swarm_evidence_gate_stride_and_cloud_interpret():
                               jax.random.key(2), num_steps=3)
     assert obs.shape == (8, 3, 128, 1)
     assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_new_kernel_options_compose_across_model_families():
+    """rejection + gate_stride wiring across the factory's model
+    variety: 2-leaf state (factor-SVOL — joint multi-leaf movement
+    through the roll selector) and 2-column obs (Poisson counts) in
+    interpret mode."""
+    from ssme_tpu.ops.filter_megakernel import (factor_svol_kernel_model,
+                                                poisson_ar_kernel_model,
+                                                poisson_obs_rows)
+
+    # factor-SVOL: 2 leaves, 5 assets
+    km = factor_svol_kernel_model(3)
+    rng = np.random.default_rng(0)
+    p_row = np.concatenate([[0.9, 0.8], [0.0, 0.1], [0.2, 0.3],
+                            rng.uniform(0.2, 0.8, 6), [0.3, 0.3, 0.3]])
+    params = jnp.tile(jnp.asarray(p_row, jnp.float32), (8, 1))
+    ys = 0.3 * jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    tot, _, _ = filter_megakernel(km, 3, params, ys, num_particles=128,
+                                  interpret=True, ess_threshold=0.5,
+                                  resampler="rejection", gate_stride=4)
+    assert np.all(np.isfinite(np.asarray(tot)))
+
+    # Poisson AR: dim_obs=2 (count + host-precomputed gammaln)
+    kmp = poisson_ar_kernel_model()
+    counts = jnp.asarray(rng.poisson(3.0, 16), jnp.float32)
+    obs = poisson_obs_rows(counts)
+    pp = jnp.tile(jnp.array([[0.8, 1.0, 0.3]]), (8, 1))
+    tot_p, _, _ = filter_megakernel(kmp, 5, pp, obs, num_particles=128,
+                                    interpret=True, ess_threshold=0.5,
+                                    resampler="rejection", gate_stride=4)
+    assert np.all(np.isfinite(np.asarray(tot_p)))
