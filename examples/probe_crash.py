@@ -122,6 +122,20 @@ def _worker():
 
             def step(st):
                 return fn(st)
+        elif variant == "hostrt":
+            # round-trip the carry through HOST numpy between chunks:
+            # each chunk starts from freshly-uploaded device buffers,
+            # severing all client-side buffer lineage — tests whether
+            # the per-process steady-state degradation tracks buffer
+            # history rather than rig-internal execution bookkeeping
+            import numpy as _np
+            fn = jax.jit(
+                lambda st: pmmh._scan_chunk(st, chunk, ys).final_state)
+
+            def step(st):
+                out = fn(st)
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(_np.asarray(a)), out)
         else:
             fn = jax.jit(lambda st: pmmh._scan_chunk(st, chunk, ys))
 
@@ -266,7 +280,7 @@ def main():
             _launch("chunks", "run", args.timeout, chunk=chunk, ess=0.5)
 
     if args.probe == "chunkvar":
-        for variant in ("base", "sync", "discard"):
+        for variant in ("base", "sync", "discard", "hostrt"):
             _launch("chunks", "run", args.timeout, chunk=100, ess=0.5,
                     variant=variant)
 

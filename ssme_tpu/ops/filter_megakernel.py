@@ -397,8 +397,28 @@ def _make_kernel(kmodel: KernelModel, num_particles: int, ess_frac: float,
                     weight_and_stage(t, y, z)
                 else:
                     accumulate_weight(t, y, z)
-                    if k % g == g - 1:
+                    if g <= k_steps and k % g == g - 1:
                         check_and_stage(t)
+                    elif g > k_steps and k == k_steps - 1:
+                        # cross-cell stride (g a multiple of
+                        # steps_per_cell dividing 128): the check fires
+                        # on a RUNTIME predicate every g-th step — or
+                        # at the final real step — with the carried
+                        # scratch persisting across grid cells (same
+                        # design as svol_filter_kernel; staging
+                        # freshness holds because check columns are
+                        # ≡ g-1 (mod g) with g | 128).  t < num_steps
+                        # is load-bearing: a PADDED step past T can hit
+                        # t ≡ g-1 (mod g) and its col-(g-1) staging
+                        # write would zero a block whose only real
+                        # write is the ragged tail at a smaller column
+                        # (see svol_filter_kernel and
+                        # data/probe_ceiling.jsonl for the measured
+                        # corruption this guards against)
+                        pl.when(((jax.lax.rem(t, g) == g - 1)
+                                 & (t < num_steps))
+                                | (t == num_steps - 1))(
+                            functools.partial(check_and_stage, t))
                     else:
                         # ragged tail: the last real step always checks
                         pl.when(t == num_steps - 1)(
@@ -559,8 +579,11 @@ def filter_megakernel(kmodel: KernelModel, seed, params, ys, zs=None,
     if k_steps < 1 or 128 % k_steps:
         raise ValueError("steps_per_cell must divide 128")
     gate_stride = int(gate_stride)
-    if gate_stride < 1 or k_steps % gate_stride:
-        raise ValueError("gate_stride must divide steps_per_cell")
+    if gate_stride < 1 or ((k_steps % gate_stride) and
+                           (gate_stride % k_steps or 128 % gate_stride)):
+        raise ValueError(
+            "gate_stride must divide steps_per_cell, or be a multiple of "
+            "it that divides 128 (cross-cell weight accumulation)")
     if gate_stride > 1 and (mode != "bootstrap"
                             or ess_threshold >= 1.0):
         raise ValueError(

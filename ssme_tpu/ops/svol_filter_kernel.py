@@ -275,8 +275,29 @@ def _make_kernel(num_particles: int, ess_frac: float,
                 weight_and_stage(t)
             else:
                 accumulate_weight(t)
-                if k % g == g - 1:
+                if g <= k_steps and k % g == g - 1:
                     check_and_stage(t)
+                elif g > k_steps and k == k_steps - 1:
+                    # cross-cell stride (g a multiple of steps_per_cell
+                    # dividing 128): the (x, lw, carry) scratch persists
+                    # across grid cells, so the check fires on a RUNTIME
+                    # predicate every g-th step — or at the final real
+                    # step (ragged tail), whichever comes first; the
+                    # staging freshness rule (first write of a 128-col
+                    # block has col < g) still holds because check
+                    # columns are ≡ g-1 (mod g) with g | 128.  The
+                    # t < num_steps conjunct is load-bearing: a PADDED
+                    # step past T can satisfy t ≡ g-1 (mod g), and its
+                    # staging write would land at col g-1 < g in a block
+                    # whose only real write is the ragged tail at a
+                    # smaller column — the freshness zeroing would WIPE
+                    # the tail's staged value (measured on chip as a
+                    # +14-nat evidence corruption at stride 16 on SPY
+                    # before this guard; data/probe_ceiling.jsonl)
+                    pl.when(((jax.lax.rem(t, g) == g - 1)
+                             & (t < num_steps))
+                            | (t == num_steps - 1))(
+                        functools.partial(check_and_stage, t))
                 else:
                     # ragged tail: the final real step always checks so
                     # the staged lcls telescope to the full evidence
@@ -328,8 +349,10 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     data-dependent sweep count, ``_select.rejection_select_leaves``).
 
     gate_stride: run the LSE/ESS check every this many steps instead of
-    every step (must divide steps_per_cell; ESS-adaptive schedules
-    only).  Between checks the carried log-weights accumulate
+    every step (must divide steps_per_cell, or be a multiple of it that
+    divides 128 — the check then fires across grid cells on a runtime
+    predicate; ESS-adaptive schedules only).  Between checks the
+    carried log-weights accumulate
     un-renormalized — no per-step exp(lw) pass — cutting the
     per-propagation transcendental count from 4 to 3 + 1/stride (the
     measured roofline ceiling, docs/kernels.md).  ``sum(lcls)`` stays
@@ -340,8 +363,12 @@ def svol_filter_pallas(seed, params, ys, num_particles=512, interpret=False,
     if resampler not in ("systematic", "metropolis", "rejection"):
         raise ValueError(f"unknown resampler {resampler!r}")
     gate_stride = int(gate_stride)
-    if gate_stride < 1 or int(steps_per_cell) % gate_stride:
-        raise ValueError("gate_stride must divide steps_per_cell")
+    _spc = int(steps_per_cell)
+    if gate_stride < 1 or ((_spc % gate_stride) and
+                           (gate_stride % _spc or 128 % gate_stride)):
+        raise ValueError(
+            "gate_stride must divide steps_per_cell, or be a multiple of "
+            "it that divides 128 (cross-cell weight accumulation)")
     if gate_stride > 1 and ess_threshold >= 1.0:
         raise ValueError(
             "gate_stride > 1 is the ESS-adaptive transcendental lever "

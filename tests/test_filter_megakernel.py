@@ -720,6 +720,45 @@ def test_factory_gate_stride_sis_equivalence_interpret():
                           gate_stride=4)
 
 
+def test_factory_gate_stride_cross_cell_interpret():
+    """Cross-cell stride in the factory (g = 16 > steps_per_cell = 8):
+    checks fire on the runtime predicate every g-th step with the
+    carried scratch persisting across grid cells — same SIS contract
+    as the in-cell case; invalid cross-cell strides rejected."""
+    km = svol_kernel_model()
+    params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
+    ys = 0.3 * jnp.ones(35)
+    kw = dict(num_particles=128, interpret=True, steps_per_cell=8,
+              ess_threshold=1e-6)
+    tot1, lcls1, _ = filter_megakernel(km, 3, params, ys, **kw)
+    tot16, lcls16, _ = filter_megakernel(km, 3, params, ys,
+                                         gate_stride=16, **kw)
+    np.testing.assert_allclose(np.asarray(tot16), np.asarray(tot1),
+                               rtol=2e-4, atol=2e-4)
+    l16 = np.asarray(lcls16)
+    np.testing.assert_allclose(l16.sum(-1), np.asarray(tot16), rtol=1e-5)
+    mask = np.ones(35, bool)
+    mask[[15, 31, 34]] = False
+    assert np.all(l16[:, mask] == 0.0)
+    np.testing.assert_allclose(l16[:, 15],
+                               np.asarray(lcls1)[:, :16].sum(-1),
+                               rtol=2e-4, atol=2e-4)
+    # padded-step check guard (see test_svol_megakernel's twin): at
+    # T=12 the padded t=15 would fire the stride-16 check and wipe the
+    # ragged tail's staged value without the t < num_steps conjunct
+    ys12 = 0.3 * jnp.ones(12)
+    tot1s, _, _ = filter_megakernel(km, 3, params, ys12, **kw)
+    tot16s, lcls16s, _ = filter_megakernel(km, 3, params, ys12,
+                                           gate_stride=16, **kw)
+    np.testing.assert_allclose(np.asarray(tot16s), np.asarray(tot1s),
+                               rtol=2e-4, atol=2e-4)
+    assert np.all(np.asarray(lcls16s)[:, 11] != 0.0)
+    with pytest.raises(ValueError, match="divide steps_per_cell"):
+        filter_megakernel(km, 3, params, ys, gate_stride=12, **kw)
+    with pytest.raises(ValueError, match="divide steps_per_cell"):
+        filter_megakernel(km, 3, params, ys, gate_stride=256, **kw)
+
+
 def test_swarm_evidence_gate_stride_and_cloud_interpret():
     """Swarm evidence with gate_stride + return_cloud composed: totals
     telescope, the cloud export survives the stride path, and the

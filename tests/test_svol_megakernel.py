@@ -122,6 +122,51 @@ def test_gate_stride_sis_equivalence_interpret():
         rtol=2e-4, atol=2e-4)
 
 
+def test_gate_stride_cross_cell_interpret():
+    """gate_stride LARGER than steps_per_cell (cross-cell accumulation:
+    the check fires on a runtime predicate every g-th step, the carried
+    scratch persisting across grid cells).  Same pure-SIS contract as
+    the in-cell case: totals match stride 1, staged lcls land only on
+    check columns (≡ g-1 mod g) plus the ragged tail, and telescope."""
+    import numpy as np
+    from ssme_tpu.ops.svol_filter_kernel import svol_filter_pallas
+
+    params = jnp.tile(jnp.array([[1.0, 0.5, 0.1]]), (8, 1))
+    ys = 0.3 * jnp.ones(35)      # spans 5 cells at spc=8; 35 % 16 != 0
+    kw = dict(num_particles=128, interpret=True, steps_per_cell=8,
+              ess_threshold=1e-6)            # gate never fires
+    tot1, lcls1, _ = svol_filter_pallas(3, params, ys, **kw)
+    tot16, lcls16, _ = svol_filter_pallas(3, params, ys, gate_stride=16,
+                                          **kw)
+    np.testing.assert_allclose(np.asarray(tot16), np.asarray(tot1),
+                               rtol=2e-4, atol=2e-4)
+    l16 = np.asarray(lcls16)
+    np.testing.assert_allclose(l16.sum(-1), np.asarray(tot16), rtol=1e-5)
+    check_cols = [15, 31, 34]    # every 16th step + the ragged tail
+    mask = np.ones(35, bool)
+    mask[check_cols] = False
+    assert np.all(l16[:, mask] == 0.0), l16[0]
+    assert np.all(l16[:, check_cols] != 0.0)
+    l1 = np.asarray(lcls1)
+    np.testing.assert_allclose(l16[:, 15], l1[:, :16].sum(-1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(l16[:, 34], l1[:, 32:].sum(-1),
+                               rtol=2e-4, atol=2e-4)
+
+    # padded-step check guard: at T=12 the PADDED step t=15 satisfies
+    # t % 16 == 15 — without the t < num_steps conjunct its staging
+    # write (col 15 < g) would zero the block and WIPE the ragged
+    # tail's value at col 11 (+14-nat evidence corruption measured on
+    # chip at T=3084; data/probe_ceiling.jsonl)
+    ys12 = 0.3 * jnp.ones(12)
+    tot1s, _, _ = svol_filter_pallas(3, params, ys12, **kw)
+    tot16s, lcls16s, _ = svol_filter_pallas(3, params, ys12,
+                                            gate_stride=16, **kw)
+    np.testing.assert_allclose(np.asarray(tot16s), np.asarray(tot1s),
+                               rtol=2e-4, atol=2e-4)
+    assert np.all(np.asarray(lcls16s)[:, 11] != 0.0)
+
+
 def test_gate_stride_validation():
     from ssme_tpu.ops.svol_filter_kernel import svol_filter_pallas
 
@@ -131,6 +176,16 @@ def test_gate_stride_validation():
         svol_filter_pallas(3, params, ys, num_particles=128,
                            interpret=True, ess_threshold=0.5,
                            steps_per_cell=8, gate_stride=3)
+    # cross-cell strides must be multiples of steps_per_cell AND divide
+    # 128 (the output-block freshness rule)
+    with pytest.raises(ValueError, match="divide steps_per_cell"):
+        svol_filter_pallas(3, params, ys, num_particles=128,
+                           interpret=True, ess_threshold=0.5,
+                           steps_per_cell=8, gate_stride=12)
+    with pytest.raises(ValueError, match="divide steps_per_cell"):
+        svol_filter_pallas(3, params, ys, num_particles=128,
+                           interpret=True, ess_threshold=0.5,
+                           steps_per_cell=8, gate_stride=256)
     with pytest.raises(ValueError, match="parity"):
         svol_filter_pallas(3, params, ys, num_particles=128,
                            interpret=True, gate_stride=4)
