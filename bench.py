@@ -133,7 +133,12 @@ def _worker():
     # measured 2.1x adaptive throughput at an exactly-telescoping
     # evidence, with the SPY accuracy gate passing at stride 8
     # (docs/kernels.md "gate_stride"; data/accuracy_gate_stride8.json).
-    # The parity schedule always runs stride 1.
+    # Cross-cell strides 16/32 run faster per iteration (194/148 vs
+    # 231 us/row) but were REJECTED as the default: their higher
+    # estimator sd collapses PMMH acceptance (3.4 vs 18.8 ESS/s on the
+    # 10k flagship at stride 16) — the Doucet-Pitt variance optimum
+    # binds before the throughput gain pays.  The parity schedule
+    # always runs stride 1.
     gate_stride = int(os.environ.get("BENCH_GATE_STRIDE", 8))
 
     data_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
