@@ -132,10 +132,14 @@ def _worker():
             fn = jax.jit(
                 lambda st: pmmh._scan_chunk(st, chunk, ys).final_state)
 
+            def _rt(a):
+                if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+                    return jax.random.wrap_key_data(jnp.asarray(
+                        _np.asarray(jax.random.key_data(a))))
+                return jnp.asarray(_np.asarray(a))
+
             def step(st):
-                out = fn(st)
-                return jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(_np.asarray(a)), out)
+                return jax.tree_util.tree_map(_rt, fn(st))
         else:
             fn = jax.jit(lambda st: pmmh._scan_chunk(st, chunk, ys))
 
