@@ -819,3 +819,20 @@ def test_new_kernel_options_compose_across_model_families():
                                     interpret=True, ess_threshold=0.5,
                                     resampler="rejection", gate_stride=4)
     assert np.all(np.isfinite(np.asarray(tot_p)))
+
+    # CROSS-CELL stride (g=16 > spc=8) composed with the rejection
+    # resampler on the 2-leaf family: the runtime-predicate check must
+    # drive the multi-leaf roll selector correctly across grid cells,
+    # and a never-firing gate must reproduce the stride-4 SIS totals
+    tot_cc, _, _ = filter_megakernel(km, 3, params, ys, num_particles=128,
+                                     interpret=True, ess_threshold=0.5,
+                                     resampler="rejection", gate_stride=16)
+    assert np.all(np.isfinite(np.asarray(tot_cc)))
+    sis4, _, _ = filter_megakernel(km, 3, params, ys, num_particles=128,
+                                   interpret=True, ess_threshold=1e-6,
+                                   resampler="rejection", gate_stride=4)
+    sis16, _, _ = filter_megakernel(km, 3, params, ys, num_particles=128,
+                                    interpret=True, ess_threshold=1e-6,
+                                    resampler="rejection", gate_stride=16)
+    np.testing.assert_allclose(np.asarray(sis16), np.asarray(sis4),
+                               rtol=2e-4, atol=2e-4)
