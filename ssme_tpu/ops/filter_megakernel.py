@@ -792,7 +792,19 @@ def megakernel_swarm_evidence(kmodel: KernelModel, seed, param_draws, ys,
     result — ``final_cloud`` (tuple of ``num_state`` ``(M, n)`` arrays)
     and ``final_log_weights`` ``(M, n)`` — the kernel-speed input to
     ``Swarm::simFutureObs`` forecasting
-    (:func:`ssme_tpu.inference.swarm.forecast_from_cloud`)."""
+    (:func:`ssme_tpu.inference.swarm.forecast_from_cloud`).
+
+    ``gate_stride`` note: each model's per-step lcls coarsen to
+    per-check BLOCK sums (sum over columns unchanged), so
+    ``per_model_log_cond_likes`` totals and ``mean_log_cond_like``
+    (linear in lcls) are stride-invariant — but the mixture aggregate
+    ``log_cond_like`` = logmeanexp over models PER COLUMN becomes a
+    per-block mixture factorization: prod_blocks mean_m
+    p_m(y_block | past) instead of the reference's per-step
+    prod_t mean_m p_m(y_t | past) (``pswarm_filter.h:103,136``).  Both
+    are valid mixture predictives at different granularity; use
+    stride 1 when the per-STEP mixture decomposition itself is the
+    quantity of interest."""
     p = jnp.asarray(param_draws, jnp.float32)
     m_models = p.shape[0]
     b = ((m_models + TILE_B - 1) // TILE_B) * TILE_B

@@ -515,7 +515,9 @@ def svol_pallas_batched_log_like(num_particles: int, num_replicates: int,
     return ll
 
 
-def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512):
+def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512,
+                               ess_threshold: float = 1.0,
+                               gate_stride: int = 1):
     """Particle-swarm conditional evidence at megakernel speed.
 
     The swarm (``pswarm_filter.h:22-305``) runs one bootstrap filter per
@@ -528,6 +530,12 @@ def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512):
     conditional evidence) and ``mean_log_cond_like`` (T,) = the
     reference's arithmetic-mean-of-logs aggregation
     (``pswarm_filter.h:103,136``), plus the per-model matrix.
+
+    ``ess_threshold``/``gate_stride`` mirror the factory's
+    :func:`~ssme_tpu.ops.filter_megakernel.megakernel_swarm_evidence`
+    knobs; with ``gate_stride > 1`` the mixture aggregate coarsens to a
+    per-check-block factorization (see that function's note) while the
+    per-model totals stay exactly telescoped.
     """
     p = jnp.asarray(param_draws)
     m_models = p.shape[0]
@@ -537,7 +545,9 @@ def svol_swarm_evidence_pallas(seed, param_draws, ys, num_particles=512):
     batch = jnp.concatenate(
         [batch, jnp.broadcast_to(batch[:1], (b - m_models, 3))], axis=0)
     _, lcls, xmeans = svol_filter_pallas(seed, batch, ys,
-                                         num_particles=num_particles)
+                                         num_particles=num_particles,
+                                         ess_threshold=ess_threshold,
+                                         gate_stride=gate_stride)
     lcls = lcls[:m_models]                                   # (M, T)
     xmeans = xmeans[:m_models]
     log_cond_like = logmeanexp(lcls, axis=0)

@@ -81,6 +81,14 @@ def test_swarm_evidence_pallas():
     assert out["log_cond_like"].shape == (96,)
     assert out["per_model_log_cond_likes"].shape == (12, 96)
     assert np.all(np.isfinite(np.asarray(out["log_cond_like"])))
+    # schedule knobs mirror the factory: adaptive + cross-cell stride
+    out_g = svol_swarm_evidence_pallas(9, draws, ys, num_particles=256,
+                                       ess_threshold=0.5, gate_stride=16)
+    lcl_g = np.asarray(out_g["per_model_log_cond_likes"])
+    assert np.all(np.isfinite(lcl_g.sum(-1)))
+    # per-model totals agree with stride 1 within generous MC error
+    tot1 = np.asarray(out["per_model_log_cond_likes"]).sum(-1)
+    assert np.all(np.abs(lcl_g.sum(-1) - tot1) < 25.0)
 
 
 def test_gate_stride_sis_equivalence_interpret():
