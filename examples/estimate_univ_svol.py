@@ -51,7 +51,10 @@ def main(argv=None):
                    help="kernel LSE/ESS check stride (pallas engine; "
                         "8 = the measured 2.1x throughput lever at "
                         "production scale — 18.8 vs 12.4 ESS/s on the "
-                        "10k-iteration SPY flagship, docs/kernels.md)")
+                        "10k-iteration SPY flagship; 16/32 run the "
+                        "kernel faster still but COLLAPSE PMMH "
+                        "acceptance via estimator variance — measured "
+                        "3.4 ESS/s at 16; docs/kernels.md)")
     p.add_argument("--tuned", action="store_true",
                    help="measured pseudo-marginal optimum instead of "
                         "the reference constants: 64 chains x 2 PF "
